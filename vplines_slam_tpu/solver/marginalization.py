@@ -1,0 +1,111 @@
+"""Sliding-window marginalization as a square-root prior.
+
+Parity with the reference's ``marginalization_factor.{h,cpp}``:
+- dense H = JᵀJ, b = Jᵀr over the factors touching dropped states
+  (ThreadsConstructA:144 — here one MXU matmul instead of 4 pthreads),
+- Schur elimination of the dropped block via eigendecomposition
+  pseudo-inverse (:330-346),
+- square-root extraction J_prior = √S·Vᵀ, r_prior = (√S)⁻¹·Vᵀ·b
+  (:349-357), replayed next window as a linear prior with first-order
+  state update (MarginalizationFactor::Evaluate).
+
+The landmark pre-elimination stage of the reference (:281-327, the "marg
+accelerator") is unnecessary here: landmark factors enter this H already
+Schur-reduced by the BA layout, and the dense sizes (≤ ~700) are trivial for
+the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Prior(NamedTuple):
+    """Square-root prior on the dense parameter block.
+
+    residual(x) = r0 + J · (x ⊟ x_lin); rows beyond `rank` are zero-padded
+    (fixed shapes).
+    """
+
+    J: jnp.ndarray  # [N, N]
+    r0: jnp.ndarray  # [N]
+    valid: jnp.ndarray  # [] bool — False until the first marginalization
+
+
+def empty_prior(n, dtype=jnp.float64):
+    return Prior(
+        J=jnp.zeros((n, n), dtype),
+        r0=jnp.zeros((n,), dtype),
+        valid=jnp.asarray(False),
+    )
+
+
+def marginalize(J, r, marg_mask, eps=1e-8):
+    """Build the square-root prior over kept parameters.
+
+    Args:
+      J: [R, N] jacobian of all factors touching the dropped states,
+         linearized at the current estimate (whitened, masked rows zero).
+      r: [R] residual at the linearization point.
+      marg_mask: [N] bool, True for parameters to eliminate.
+      eps: eigenvalue threshold for the pseudo-inverses.
+
+    Returns (J_prior [N, N], r_prior [N]) expressed over the SAME N-dim
+    parameter layout, with zero columns on the dropped parameters (keeping
+    fixed shapes; the caller then re-maps slots when the window slides).
+    """
+    dtype = J.dtype
+    N = J.shape[1]
+    H = J.T @ J
+    b = J.T @ r
+
+    m = marg_mask.astype(dtype)
+    k = 1.0 - m
+    # permutation-free Schur: use masked algebra.
+    # Amm = H over marg rows/cols (+identity on keep diag so it inverts)
+    Amm = H * m[:, None] * m[None, :] + jnp.diag(k)
+    # eigendecomposition pseudo-inverse (marginalization_factor.cpp:330-337)
+    w, V = jnp.linalg.eigh(Amm)
+    w_inv = jnp.where(w > eps, 1.0 / w, 0.0)
+    Amm_inv = (V * w_inv[None, :]) @ V.T
+    # remove the identity we injected on kept slots
+    Amm_inv = Amm_inv * m[:, None] * m[None, :]
+
+    Akm = H * k[:, None] * m[None, :]
+    Akk = H * k[:, None] * k[None, :]
+    bk = b * k
+    bm = b * m
+
+    A_new = Akk - Akm @ Amm_inv @ Akm.T
+    b_new = bk - Akm @ (Amm_inv @ bm)
+
+    # square root via eigendecomposition (:349-357)
+    w2, V2 = jnp.linalg.eigh(A_new)
+    w2c = jnp.where(w2 > eps, w2, 0.0)
+    s = jnp.sqrt(w2c)
+    s_inv = jnp.where(w2 > eps, 1.0 / s, 0.0)
+    J_prior = s[:, None] * V2.T
+    r_prior = (s_inv[:, None] * V2.T) @ b_new
+    return J_prior, r_prior
+
+
+def prior_residual(prior: Prior, dx):
+    """Evaluate the prior residual given the manifold difference dx = x ⊟ x_lin."""
+    r = prior.r0 + prior.J @ dx
+    return jnp.where(prior.valid, r, jnp.zeros_like(r))
+
+
+def shift_prior(prior: Prior, perm):
+    """Re-index prior columns when the window slides (parameter slot j of the
+    new layout corresponds to old slot perm[j]; dropped slots map to -1).
+
+    The reference rebuilds keep_block addresses after each slide
+    (marginalization_factor.cpp getParameterBlocks); with fixed-slot tensors
+    this is a gather over columns.
+    """
+    cols = jnp.where(perm >= 0, perm, 0)
+    J_new = prior.J[:, cols] * (perm >= 0)[None, :].astype(prior.J.dtype)
+    return prior._replace(J=J_new)
