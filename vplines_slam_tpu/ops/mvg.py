@@ -1,0 +1,240 @@
+"""Multi-view geometry ops: essential matrix, PnP, triangulation.
+
+Mask-aware, fixed-shape, batched replacements for the reference's OpenCV
+calls: ``cv::findFundamentalMat`` (solve_5pts.cpp solveRelativeRT),
+``cv::solvePnP`` (initial_sfm.cpp solveFrameByPnP, estimator.cpp:432-501),
+two-frame / multi-view SVD triangulation (initial_sfm.cpp
+triangulateTwoFrames, feature_manager.cpp:565-621).
+
+Everything operates on normalized image coordinates (z=1 rays).  Masked
+entries contribute zero rows to the normal matrices, so padding never
+changes results.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.geometry import quat_rotate, rot_to_quat, skew
+
+
+def _smallest_eigvec(A):
+    """Unit eigenvector of symmetric A for the smallest eigenvalue."""
+    w, V = jnp.linalg.eigh(A)
+    return V[..., :, 0]
+
+
+def eight_point_essential(x1, x2, mask):
+    """Essential matrix from ≥8 correspondences on the normalized plane.
+
+    x1, x2: [N, 2] normalized coords in frames 1, 2; mask: [N] weights.
+    Returns E with the essential constraint enforced (σ1=σ2=1, σ3=0),
+    satisfying x2ᵀ E x1 = 0 (x as homogeneous rays).
+    """
+    m = mask.astype(x1.dtype)[:, None]
+    one = jnp.ones_like(x1[:, :1])
+    h1 = jnp.concatenate([x1, one], axis=-1)
+    h2 = jnp.concatenate([x2, one], axis=-1)
+    # rows of the linear system: kron(h1, h2) ordered so that vec picks E
+    A = (h2[:, :, None] * h1[:, None, :]).reshape(-1, 9) * m
+    e = _smallest_eigvec(A.T @ A)
+    E = e.reshape(3, 3)
+    U, s, Vt = jnp.linalg.svd(E)
+    s_fixed = jnp.array([1.0, 1.0, 0.0], E.dtype)
+    return U @ jnp.diag(s_fixed) @ Vt
+
+
+def decompose_essential(E, x1, x2, mask):
+    """Four-way decomposition + cheirality vote.
+
+    Returns (R, t) with ‖t‖=1 mapping frame-1 coords to frame-2:
+    x2 ~ R @ x1 + t (the relative pose frame1->frame2).
+    """
+    U, _, Vt = jnp.linalg.svd(E)
+    # ensure proper rotations
+    U = U * jnp.sign(jnp.linalg.det(U))
+    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
+    W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], E.dtype)
+    R1 = U @ W @ Vt
+    R2 = U @ W.T @ Vt
+    t1 = U[:, 2]
+
+    def count_cheirality(R, t):
+        z1, z2 = _two_view_depths(R, t, x1, x2)
+        good = (z1 > 0) & (z2 > 0) & mask
+        return jnp.sum(good.astype(jnp.int32))
+
+    cands_R = jnp.stack([R1, R1, R2, R2])
+    cands_t = jnp.stack([t1, -t1, t1, -t1])
+    votes = jax.vmap(count_cheirality)(cands_R, cands_t)
+    best = jnp.argmax(votes)
+    return cands_R[best], cands_t[best], votes[best]
+
+
+def _two_view_depths(R, t, x1, x2):
+    """Depths of midpoint triangulation given x2 ~ R x1 + t."""
+    h1 = jnp.concatenate([x1, jnp.ones_like(x1[:, :1])], -1)
+    h2 = jnp.concatenate([x2, jnp.ones_like(x2[:, :1])], -1)
+    r1 = jax.vmap(lambda a: R @ a)(h1)  # ray 1 in frame 2
+    # solve [r1, -h2] [z1; z2] = -t in least squares per correspondence
+    def solve(a, b):
+        M = jnp.stack([a, -b], axis=-1)  # [3,2]
+        z = jnp.linalg.lstsq(M, -t)[0]
+        return z[0], z[1]
+
+    z1, z2 = jax.vmap(solve)(r1, h2)
+    return z1, z2
+
+
+def triangulate_two_view(R, t, x1, x2):
+    """DLT triangulation in frame 1 given relative pose x2 ~ R x1 + t.
+
+    Returns (X1 [N,3] points in frame 1, depth in frame 1).
+    """
+    P1 = jnp.concatenate([jnp.eye(3, dtype=R.dtype), jnp.zeros((3, 1), R.dtype)], 1)
+    P2 = jnp.concatenate([R, t[:, None]], 1)
+
+    def tri(u1, u2):
+        A = jnp.stack(
+            [
+                u1[0] * P1[2] - P1[0],
+                u1[1] * P1[2] - P1[1],
+                u2[0] * P2[2] - P2[0],
+                u2[1] * P2[2] - P2[1],
+            ]
+        )
+        X = _smallest_eigvec(A.T @ A)
+        return X[:3] / X[3]
+
+    X1 = jax.vmap(tri)(x1, x2)
+    return X1, X1[:, 2]
+
+
+def triangulate_tracks(poses_R, poses_t, obs, mask):
+    """Multi-view SVD triangulation of many tracks (feature_manager.cpp:565).
+
+    poses_R/poses_t: [F, 3, 3]/[F, 3] camera-from-world (x_c = R x_w + t).
+    obs: [N, F, 2] normalized observations; mask [N, F].
+    Returns (X_w [N, 3], ok [N]) — ok requires ≥2 observations.
+    """
+    P = jnp.concatenate([poses_R, poses_t[..., :, None]], axis=-1)  # [F,3,4]
+
+    def one(o, m):
+        # rows: u*P2-P0, v*P2-P1 per frame, masked
+        r0 = o[:, 0:1] * P[:, 2, :] - P[:, 0, :]
+        r1 = o[:, 1:2] * P[:, 2, :] - P[:, 1, :]
+        A = jnp.concatenate([r0, r1], axis=0) * jnp.concatenate([m, m])[:, None]
+        X = _smallest_eigvec(A.T @ A)
+        w = X[3]
+        Xw = X[:3] / jnp.where(jnp.abs(w) < 1e-12, jnp.sign(w) * 1e-12 + 1e-30, w)
+        return Xw
+
+    X = jax.vmap(one)(obs, mask.astype(obs.dtype))
+    ok = jnp.sum(mask, axis=1) >= 2
+    return X, ok
+
+
+def pnp_dlt(X_w, x, mask):
+    """Linear PnP (DLT) with rotation re-orthonormalization.
+
+    X_w: [N,3] world points; x: [N,2] normalized observations; mask: [N].
+    Returns (R, t): x ~ R X_w + t, plus a validity flag (≥6 points).
+    """
+    m = mask.astype(x.dtype)
+
+    def rows(Xp, u, w):
+        X_h = jnp.concatenate([Xp, jnp.ones(1, Xp.dtype)])
+        z = jnp.zeros(4, Xp.dtype)
+        r0 = jnp.concatenate([X_h, z, -u[0] * X_h]) * w
+        r1 = jnp.concatenate([z, X_h, -u[1] * X_h]) * w
+        return jnp.stack([r0, r1])
+
+    A = jax.vmap(rows)(X_w, x, m).reshape(-1, 12)
+    p = _smallest_eigvec(A.T @ A)
+    Pm = p.reshape(3, 4)
+    # fix sign: average depth positive
+    depths = jax.vmap(lambda Xp: Pm[2] @ jnp.concatenate([Xp, jnp.ones(1, Xp.dtype)]))(X_w)
+    sign = jnp.sign(jnp.sum(depths * m) + 1e-30)
+    Pm = Pm * sign
+    M = Pm[:, :3]
+    # scale so that R is a rotation: det(M) > 0, unit-ize via SVD
+    U, s, Vt = jnp.linalg.svd(M)
+    scale = jnp.mean(s)
+    R = U @ Vt
+    R = R * jnp.sign(jnp.linalg.det(R))
+    t = Pm[:, 3] / scale
+    ok = jnp.sum(mask) >= 6
+    return R, t, ok
+
+
+def pnp_refine(R0, t0, X_w, x, mask, iters=5):
+    """Gauss-Newton refinement of a PnP pose on SE(3) (replaces OpenCV's
+    iterative solvePnP refinement)."""
+    dtype = x.dtype
+
+    def residual(params):
+        w, t = params[:3], params[3:]
+        from ..utils.geometry import so3_exp_matrix
+
+        R = so3_exp_matrix(w) @ R0
+        Xc = jax.vmap(lambda Xp: R @ Xp + t)(X_w)
+        proj = Xc[:, :2] / Xc[:, 2:3]
+        return ((proj - x) * mask.astype(dtype)[:, None]).reshape(-1)
+
+    params = jnp.concatenate([jnp.zeros(3, dtype), t0])
+
+    def body(_, params):
+        r = residual(params)
+        J = jax.jacfwd(residual)(params)
+        H = J.T @ J + 1e-8 * jnp.eye(6, dtype=dtype)
+        return params - jnp.linalg.solve(H, J.T @ r)
+
+    params = jax.lax.fori_loop(0, iters, body, params)
+    from ..utils.geometry import so3_exp_matrix
+
+    return so3_exp_matrix(params[:3]) @ R0, params[3:]
+
+
+def ransac_essential(x1, x2, mask, key, n_hyp=64, threshold=3.0 / 460.0):
+    """Fixed-trial batched RANSAC for the essential matrix.
+
+    The reference's cv::findFundamentalMat(FM_RANSAC, F_THRESHOLD=1px @460
+    virtual focal) (feature_tracker.cpp rejectWithF:226, solve_5pts.cpp:10)
+    recast as n_hyp parallel 8-point hypotheses scored by Sampson distance —
+    data-dependent iteration becomes one batched kernel.
+
+    Returns (E_best, inlier_mask, n_inliers).
+    """
+    N = x1.shape[0]
+    dtype = x1.dtype
+    idx = jax.random.randint(key, (n_hyp, 8), 0, N)
+    valid_prob = mask.astype(dtype) + 1e-6
+    # bias sampling toward valid entries by resampling indices from valid set:
+    # order valid first, sample within [0, n_valid)
+    order = jnp.argsort(~mask)  # valid first
+    n_valid = jnp.maximum(jnp.sum(mask.astype(jnp.int32)), 8)
+    idx = order[idx % n_valid]
+
+    def hyp(sample):
+        sm = jnp.zeros(N, bool).at[sample].set(True) & mask
+        return eight_point_essential(x1, x2, sm)
+
+    Es = jax.vmap(hyp)(idx)
+
+    h1 = jnp.concatenate([x1, jnp.ones_like(x1[:, :1])], -1)
+    h2 = jnp.concatenate([x2, jnp.ones_like(x2[:, :1])], -1)
+
+    def score(E):
+        Ex1 = h1 @ E.T  # [N,3] = E @ h1 rowwise
+        Etx2 = h2 @ E  # [N,3] = Eᵀ @ h2
+        num = jnp.sum(h2 * Ex1, axis=-1)
+        sampson = num * num / (
+            Ex1[:, 0] ** 2 + Ex1[:, 1] ** 2 + Etx2[:, 0] ** 2 + Etx2[:, 1] ** 2 + 1e-18
+        )
+        inl = (sampson < threshold * threshold) & mask
+        return jnp.sum(inl.astype(jnp.int32)), inl
+
+    counts, inls = jax.vmap(score)(Es)
+    best = jnp.argmax(counts)
+    return Es[best], inls[best], counts[best]
