@@ -1,0 +1,77 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vplines_slam_tpu.models import global_fusion as gf
+from vplines_slam_tpu.utils import geometry as geo
+
+
+def test_geodetic_to_enu_basics():
+    lat0, lon0, alt0 = 47.3977, 8.5456, 400.0
+    # same point -> origin
+    enu = gf.geodetic_to_enu(lat0, lon0, alt0, lat0, lon0, alt0)
+    np.testing.assert_allclose(enu, np.zeros(3), atol=1e-9)
+    # 1e-4 deg north ~ 11.1 m north
+    enu = gf.geodetic_to_enu(lat0 + 1e-4, lon0, alt0, lat0, lon0, alt0)
+    assert abs(float(enu[1]) - 11.1) < 0.2
+    assert abs(float(enu[0])) < 0.01
+    # altitude up
+    enu = gf.geodetic_to_enu(lat0, lon0, alt0 + 5.0, lat0, lon0, alt0)
+    assert abs(float(enu[2]) - 5.0) < 1e-6
+
+
+def drifted_vio_and_gps(n=60, drift=0.02, seed=0):
+    """Straight-ish GT; VIO with linear drift; GPS = GT + small noise."""
+    rng = np.random.default_rng(seed)
+    t = np.linspace(0, 10, n)
+    gt = np.stack([5 * np.cos(t * 0.3), 5 * np.sin(t * 0.3), 0.2 * t], axis=1)
+    vio = gt + np.outer(t, [drift * 5, -drift * 3, drift])  # growing drift
+    gps = gt + rng.standard_normal((n, 3)) * 0.05
+    yaw = np.degrees(np.arctan2(np.gradient(gt[:, 1]), np.gradient(gt[:, 0])))
+    quats = np.stack(
+        [np.asarray(geo.rot_to_quat(geo.ypr_to_rot(jnp.asarray([y, 0.0, 0.0])))) for y in yaw]
+    )
+    return gt, vio, gps, quats
+
+
+def test_fusion_corrects_drift():
+    cfg = gf.FusionConfig(max_nodes=64, iters=8)
+    st = gf.empty_fusion(cfg)
+    gt, vio, gps, quats = drifted_vio_and_gps()
+    n = len(gt)
+
+    step_in = jax.jit(lambda s, p, q: gf.input_odom(s, cfg, p, q))
+    step_gps = jax.jit(gf.input_gps)
+    opt = jax.jit(lambda s: gf.optimize(s, cfg))
+
+    for k in range(n):
+        st = step_in(st, jnp.asarray(vio[k]), jnp.asarray(quats[k]))
+        if k % 2 == 0:  # GPS at half the VIO rate
+            st = step_gps(st, jnp.asarray(gps[k]), jnp.asarray(0.1))
+        if k % 10 == 9:
+            st, _ = opt(st)
+    st, out = opt(st)
+
+    cnt = int(st.count)
+    fused = np.asarray(st.p_glb[:cnt])
+    gt_tail = gt[n - cnt :]
+    vio_tail = vio[n - cnt :]
+    err_fused = np.linalg.norm(fused - gt_tail, axis=1).mean()
+    err_vio = np.linalg.norm(vio_tail - gt_tail, axis=1).mean()
+    assert err_fused < 0.15
+    assert err_fused < err_vio * 0.5
+
+    # live alignment maps a new VIO pose near GT
+    p_al, q_al = gf.get_global_odom(st, jnp.asarray(vio[-1]), jnp.asarray(quats[-1]))
+    assert np.linalg.norm(np.asarray(p_al) - gt[-1]) < 0.6
+
+
+def test_fusion_without_gps_is_identity_alignment():
+    cfg = gf.FusionConfig(max_nodes=16, iters=3)
+    st = gf.empty_fusion(cfg)
+    for k in range(5):
+        st = gf.input_odom(st, cfg, jnp.asarray([k * 1.0, 0.0, 0.0]),
+                           jnp.asarray([1.0, 0.0, 0.0, 0.0]))
+    st, _ = gf.optimize(st, cfg)
+    # no GPS: fused == vio, alignment stays identity-ish
+    np.testing.assert_allclose(st.p_glb[:5], st.p_vio[:5], atol=1e-6)

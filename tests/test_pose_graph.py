@@ -1,0 +1,152 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vplines_slam_tpu.models import pose_graph as pg
+from vplines_slam_tpu.ops import brief as brief_mod
+from vplines_slam_tpu.utils import geometry as geo
+
+
+def test_fast_detects_corners():
+    # isolated bright squares: their corners have ~12-pixel contiguous FAST
+    # arcs (checkerboard crossings do NOT trigger FAST — arcs are only 4)
+    H, W = 160, 160
+    img = np.zeros((H, W))
+    centers = [(40, 40), (40, 100), (100, 40), (100, 100), (70, 70)]
+    for cy, cx in centers:
+        img[cy - 10 : cy + 10, cx - 10 : cx + 10] = 1.0
+    xy, valid = brief_mod.detect_fast(jnp.asarray(img), max_corners=64, thresh=0.3)
+    n = int(jnp.sum(valid))
+    assert n >= 8
+    # every detection is near a square corner
+    corners = np.array(
+        [
+            (cx + sx * 10, cy + sy * 10)
+            for (cy, cx) in centers
+            for sx in (-1, 1)
+            for sy in (-1, 1)
+        ]
+    )
+    pts = np.asarray(xy[valid])
+    d = np.linalg.norm(pts[:, None, :] - corners[None, :, :], axis=-1).min(axis=1)
+    assert np.median(d) < 4.0
+
+
+def test_brief_descriptors_discriminative(rng=np.random.default_rng(3)):
+    from tests.test_frontend_ops import smooth_texture
+
+    img = smooth_texture(rng, H=160, W=160)
+    pts = jnp.asarray(rng.uniform(40, 120, size=(20, 2)))
+    valid = jnp.ones(20, bool)
+    d1 = brief_mod.describe_brief(img, pts, valid)
+    # same keypoints, slightly shifted image -> small distance
+    from vplines_slam_tpu.ops.image import bilinear_sample
+
+    yy, xx = jnp.meshgrid(
+        jnp.arange(160, dtype=jnp.float64), jnp.arange(160, dtype=jnp.float64),
+        indexing="ij",
+    )
+    img2 = bilinear_sample(img, jnp.stack([xx + 0.5, yy + 0.5], -1))
+    d2 = brief_mod.describe_brief(img2, pts - 0.5, valid)
+    dist_same = jnp.diag(brief_mod.hamming_matrix(d1, d2))
+    dist_cross = brief_mod.hamming_matrix(d1, d2)
+    off = dist_cross + jnp.eye(20, dtype=jnp.int32) * 1000
+    assert float(jnp.mean(dist_same)) < 40
+    assert float(jnp.mean(jnp.min(off, axis=1))) > 60
+    # matcher finds the identity permutation
+    idx, dist = brief_mod.match_descriptors(d1, valid, d2, valid)
+    assert int(jnp.sum(idx == jnp.arange(20))) >= 18
+
+
+def test_global_signature_similarity(rng=np.random.default_rng(5)):
+    from tests.test_frontend_ops import smooth_texture
+
+    imgA = smooth_texture(rng, H=160, W=160)
+    imgB = smooth_texture(np.random.default_rng(99), H=160, W=160)
+    pts = jnp.asarray(rng.uniform(40, 120, size=(64, 2)))
+    valid = jnp.ones(64, bool)
+    sA1 = brief_mod.global_signature(brief_mod.describe_brief(imgA, pts, valid), valid)
+    sA2 = brief_mod.global_signature(
+        brief_mod.describe_brief(imgA, pts + 1.0, valid), valid
+    )
+    sB = brief_mod.global_signature(brief_mod.describe_brief(imgB, pts, valid), valid)
+    assert float(sA1 @ sA2) > float(sA1 @ sB) + 0.1
+
+
+def make_drifted_db(cfg, n_kf=40, drift_per_step=0.02, yaw_drift=0.3):
+    """Ground truth: circle; VIO poses drift in yaw+position; loop edge
+    between last KF and KF 0 carries the true relative pose."""
+    db = pg.empty_db(cfg)
+    truth_p, truth_yaw = [], []
+    R = 5.0
+    for k in range(n_kf):
+        th = 2 * np.pi * k / n_kf
+        truth_p.append([R * np.cos(th), R * np.sin(th), 0.1 * np.sin(3 * th)])
+        truth_yaw.append(np.degrees(th + np.pi / 2))
+    truth_p = np.asarray(truth_p)
+    truth_yaw = np.asarray(truth_yaw)
+
+    # drifted VIO: cumulative yaw error rotates subsequent increments
+    p_vio = [truth_p[0]]
+    yaw_vio = [truth_yaw[0]]
+    for k in range(1, n_kf):
+        dyaw_err = yaw_drift  # deg per step
+        yaw_vio.append(yaw_vio[-1] + (truth_yaw[k] - truth_yaw[k - 1]) + dyaw_err)
+        R_err = np.asarray(
+            geo.ypr_to_rot(jnp.asarray([yaw_vio[-1] - truth_yaw[k], 0.0, 0.0]))
+        )
+        d_true = truth_p[k] - truth_p[k - 1]
+        p_vio.append(p_vio[-1] + R_err @ d_true + drift_per_step)
+    p_vio = np.asarray(p_vio)
+    yaw_vio = np.asarray(yaw_vio)
+
+    for k in range(n_kf):
+        q = geo.rot_to_quat(geo.ypr_to_rot(jnp.asarray([yaw_vio[k], 0.0, 0.0])))
+        db = db._replace(
+            count=jnp.asarray(k + 1, jnp.int32),
+            p_vio=db.p_vio.at[k].set(jnp.asarray(p_vio[k])),
+            q_vio=db.q_vio.at[k].set(q),
+            p_pgo=db.p_pgo.at[k].set(jnp.asarray(p_vio[k])),
+            yaw_pgo=db.yaw_pgo.at[k].set(yaw_vio[k]),
+        )
+    # loop edge: last KF -> KF 0 with TRUE relative measurement
+    Ri = np.asarray(geo.ypr_to_rot(jnp.asarray([truth_yaw[0], 0.0, 0.0])))
+    rel_t = Ri.T @ (truth_p[-1] - truth_p[0])
+    rel_yaw = truth_yaw[-1] - truth_yaw[0]
+    db = pg.record_loop(
+        db, n_kf - 1, 0, jnp.asarray(rel_t), jnp.asarray(rel_yaw)
+    )
+    return db, truth_p, truth_yaw
+
+
+def test_pgo_corrects_drift():
+    cfg = pg.PoseGraphConfig(max_keyframes=64, pgo_iters=10)
+    db, truth_p, truth_yaw = make_drifted_db(cfg)
+    n_kf = len(truth_p)
+    err_before = np.linalg.norm(np.asarray(db.p_pgo[:n_kf]) - truth_p, axis=1)
+    db2, out = pg.optimize_4dof(db, cfg)
+    err_after = np.linalg.norm(np.asarray(db2.p_pgo[:n_kf]) - truth_p, axis=1)
+    # drift at the loop frame largely removed
+    assert err_after[-1] < err_before[-1] * 0.3
+    assert err_after.mean() < err_before.mean() * 0.6
+    # drift correction maps VIO -> corrected frame consistently
+    R_d, t_d = pg.drift_correction(db2, cfg)
+    p_corr = np.asarray(R_d @ db2.p_vio[n_kf - 1] + t_d)
+    np.testing.assert_allclose(p_corr, np.asarray(db2.p_pgo[n_kf - 1]), atol=1e-6)
+
+
+def test_retrieval_excludes_recent():
+    cfg = pg.PoseGraphConfig(max_keyframes=128, skip_recent=10, top_k=2)
+    db = pg.empty_db(cfg)
+    rng = np.random.default_rng(0)
+    sigs = rng.standard_normal((60, 256)).astype(np.float32)
+    sigs /= np.linalg.norm(sigs, axis=1, keepdims=True)
+    db = db._replace(
+        count=jnp.asarray(60, jnp.int32), sig=db.sig.at[:60].set(jnp.asarray(sigs))
+    )
+    # query equal to sig[55] (recent) and sig[5] (old)
+    idx, score = pg.retrieve_candidates(db, cfg, jnp.asarray(sigs[55]))
+    assert 55 not in np.asarray(idx)  # excluded (recent)
+    idx, score = pg.retrieve_candidates(db, cfg, jnp.asarray(sigs[5]))
+    assert int(idx[0]) == 5 and float(score[0]) > 0.99

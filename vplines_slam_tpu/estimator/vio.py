@@ -1,0 +1,350 @@
+"""The sliding-window VIO engine: host orchestration of jitted device stages.
+
+Re-design of ``vins_estimator/src/estimator.cpp``'s state machine
+(INITIAL -> NON_LINEAR, processIMU:82, processImage:121, solveOdometry:624,
+failureDetection:902, slideWindow:1731) and ``estimator_node.cpp``'s
+measurement alignment: three jitted programs (fill / init / track), each a
+single XLA computation over fixed-shape device state.  The host only buffers
+raw measurements between frames and branches on phase.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import imu as imu_mod
+from ..utils.geometry import quat_mul, quat_rotate
+from . import initializer as init_mod
+from .slide import (
+    ingest_frame,
+    keyframe_parallax,
+    marginalize_old,
+    set_imu_interval,
+    slide_window_new,
+    slide_window_old,
+)
+from .window import (
+    TrackData,
+    WindowConfig,
+    WindowState,
+    empty_state,
+    empty_tracks,
+    reject_outliers,
+    solve_window,
+    triangulate_lines,
+    triangulate_points,
+)
+
+
+class StepOutput(NamedTuple):
+    p: jnp.ndarray  # latest body position
+    q: jnp.ndarray  # latest body orientation
+    v: jnp.ndarray
+    ba: jnp.ndarray
+    bg: jnp.ndarray
+    is_keyframe: jnp.ndarray
+    failure: jnp.ndarray
+    ba_cost: jnp.ndarray
+
+
+def _propagate_interval(state, cfg, dts, accs, gyrs, mask, params, k_from, k_to):
+    """Seed the state of frame k_to by IMU propagation from k_from
+    (estimator.cpp processIMU:82-120 world-frame propagation)."""
+    g = params.g.astype(state.p.dtype)
+
+    def step(carry, inp):
+        p, q, v = carry
+        dt, a0, g0, a1, g1, m = inp
+        dt = dt * m
+        p2, q2, v2 = imu_mod.midpoint_propagate(
+            p, q, v, state.ba[k_from], state.bg[k_from], a0, g0, a1, g1, dt, g
+        )
+        return (p2, q2, v2), None
+
+    init = (state.p[k_from], state.q[k_from], state.v[k_from])
+    inputs = (dts, accs[:-1], gyrs[:-1], accs[1:], gyrs[1:], mask.astype(state.p.dtype))
+    (p, q, v), _ = jax.lax.scan(step, init, inputs)
+    return state._replace(
+        p=state.p.at[k_to].set(p),
+        q=state.q.at[k_to].set(q),
+        v=state.v.at[k_to].set(v),
+        ba=state.ba.at[k_to].set(state.ba[k_from]),
+        bg=state.bg.at[k_to].set(state.bg[k_from]),
+    )
+
+
+def _failure_detection(state_old: WindowState, state_new: WindowState):
+    """estimator.cpp failureDetection:902-948 thresholds."""
+    big_ba = jnp.linalg.norm(state_new.ba[-1]) > 2.5
+    big_bg = jnp.linalg.norm(state_new.bg[-1]) > 1.0
+    jump = jnp.linalg.norm(state_new.p[-1] - state_old.p[-1]) > 5.0
+    z_jump = jnp.abs(state_new.p[-1, 2] - state_old.p[-1, 2]) > 1.0
+    return big_ba | big_bg | jump | z_jump
+
+
+class VioEngine:
+    """Host-facing monocular point(+line) VIO.
+
+    Usage:
+      eng = VioEngine(cfg, imu_params, q_ic, p_ic)
+      eng.add_imu(t, acc, gyr)              # 100-1000 Hz
+      out = eng.add_frame(t, ids, rays, ...)  # camera rate
+    """
+
+    def __init__(
+        self,
+        cfg: WindowConfig = WindowConfig(),
+        params: Optional[imu_mod.ImuParams] = None,
+        q_ic=None,
+        p_ic=None,
+        dtype=jnp.float64,
+        use_lines: bool = False,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.dtype = dtype
+        self.params = params or imu_mod.default_params(dtype)
+        self.use_lines = use_lines
+        self.state = empty_state(cfg, dtype)
+        if q_ic is not None:
+            self.state = self.state._replace(
+                q_ic=jnp.asarray(q_ic, dtype), p_ic=jnp.asarray(p_ic, dtype)
+            )
+        self.data = empty_tracks(cfg, dtype)
+        self.frame_count = 0  # frames currently in the window (host)
+        self.initialized = False
+        self.last_frame_time = None
+        self._imu_times: list = []
+        self._imu_acc: list = []
+        self._imu_gyr: list = []
+        self._key = jax.random.PRNGKey(seed)
+        self._build_jits()
+
+    # ------------------------------------------------------------------ jits
+    def _build_jits(self):
+        cfg, params = self.cfg, self.params
+
+        def fill_step(state, data, frame_idx, pt_ids, pt_rays, ln_args, imu_batch):
+            dts, accs, gyrs, mask, has_imu = imu_batch
+            data = jax.lax.cond(
+                has_imu & (frame_idx > 0),
+                lambda d: set_imu_interval(
+                    d, frame_idx - 1, dts, accs, gyrs, mask,
+                    ba=state.ba[frame_idx - 1], bg=state.bg[frame_idx - 1],
+                    params=params,
+                ),
+                lambda d: d,
+                data,
+            )
+            state = jax.lax.cond(
+                has_imu & (frame_idx > 0),
+                lambda s: _propagate_interval(
+                    s, cfg, dts, accs, gyrs, mask, params, frame_idx - 1, frame_idx
+                ),
+                lambda s: s,
+                state,
+            )
+            data = ingest_frame(data, cfg, frame_idx, pt_ids, pt_rays, *ln_args)
+            return state, data
+
+        self._fill_step = jax.jit(fill_step)
+
+        def try_init(state, data, key):
+            obs = data.pt_obs[:, :, 0:2]
+            mask = data.pt_mask & (data.pt_id >= 0)[:, None]
+            l, found = init_mod.choose_reference_frame(obs, mask)
+            # preintegrate all intervals at zero bias
+            z3 = jnp.zeros(3, obs.dtype)
+            pre = jax.vmap(
+                lambda d, a, g, m: imu_mod.preintegrate(d, a, g, m, z3, z3, params)
+            )(data.imu_dt, data.imu_acc, data.imu_gyr, data.imu_mask)
+            sfm, _, _ = init_mod.window_sfm(obs, mask, l, key)
+            out = init_mod.visual_inertial_align(
+                sfm, pre, data.imu_valid, state.q_ic, state.p_ic, cfg.g_norm
+            )
+            ok = found & out.ok
+            nf = cfg.nf
+            state_new = state._replace(
+                p=jnp.where(ok, out.p, state.p),
+                q=jnp.where(ok, out.q, state.q),
+                v=jnp.where(ok, out.v, state.v),
+                bg=jnp.where(ok, jnp.broadcast_to(out.bg, (nf, 3)), state.bg),
+                ba=jnp.where(ok, jnp.zeros_like(state.ba), state.ba),
+            )
+            # fresh triangulation at the aligned states (visualInitialAlign)
+            data_new = data._replace(pt_solved=jnp.zeros_like(data.pt_solved))
+            data_new = triangulate_points(state_new, data_new, cfg)
+            # repropagate stored preintegrations at the estimated gyro bias
+            from .slide import repropagate_all
+
+            data_new = repropagate_all(data_new, state_new, params)
+            return state_new, data_new, ok
+
+        self._try_init = jax.jit(try_init)
+
+        def track_step(state, data, pt_ids, pt_rays, ln_args, imu_batch):
+            nf = cfg.nf
+            dts, accs, gyrs, mask, has_imu = imu_batch
+            state0 = state
+            data = set_imu_interval(
+                data, nf - 2, dts, accs, gyrs, mask,
+                ba=state.ba[nf - 2], bg=state.bg[nf - 2], params=params,
+            )
+            state = _propagate_interval(
+                state, cfg, dts, accs, gyrs, mask, params, nf - 2, nf - 1
+            )
+            data = ingest_frame(data, cfg, nf - 1, pt_ids, pt_rays, *ln_args)
+
+            is_kf, parallax, n_new = keyframe_parallax(data, cfg, nf - 1)
+
+            data = triangulate_points(state, data, cfg)
+            if self.use_lines:
+                data = triangulate_lines(state, data, cfg)
+            state, data, lm_out = solve_window(state, data, cfg, params)
+            data = reject_outliers(state, data, cfg)
+
+            failure = _failure_detection(state0, state)
+
+            def do_kf(args):
+                state, data = args
+                prior = marginalize_old(state, data, cfg, params)
+                return slide_window_old(state, data, cfg, params, prior)
+
+            def do_non_kf(args):
+                state, data = args
+                return slide_window_new(state, data, cfg, params)
+
+            out = StepOutput(
+                p=state.p[nf - 1], q=state.q[nf - 1], v=state.v[nf - 1],
+                ba=state.ba[nf - 1], bg=state.bg[nf - 1],
+                is_keyframe=is_kf, failure=failure, ba_cost=lm_out.cost,
+            )
+            state, data = jax.lax.cond(is_kf, do_kf, do_non_kf, (state, data))
+            return state, data, out
+
+        self._track_step = jax.jit(track_step)
+
+    # ------------------------------------------------------------- host API
+    def add_imu(self, t, acc, gyr):
+        self._imu_times.append(float(t))
+        self._imu_acc.append(np.asarray(acc, float))
+        self._imu_gyr.append(np.asarray(gyr, float))
+
+    def _pack_imu(self):
+        """Pad the buffered IMU batch since the previous frame to capacity."""
+        I = self.cfg.max_imu
+        n = len(self._imu_times)
+        dts = np.zeros(I)
+        accs = np.zeros((I + 1, 3))
+        gyrs = np.zeros((I + 1, 3))
+        mask = np.zeros(I, bool)
+        has = n >= 2
+        if has:
+            ts = np.asarray(self._imu_times)
+            k = min(n - 1, I)
+            dts[:k] = np.diff(ts)[:k]
+            mask[:k] = True
+            accs[: k + 1] = np.stack(self._imu_acc)[: k + 1]
+            gyrs[: k + 1] = np.stack(self._imu_gyr)[: k + 1]
+            # keep the frame-boundary sample for the next interval
+            self._imu_times = self._imu_times[-1:]
+            self._imu_acc = self._imu_acc[-1:]
+            self._imu_gyr = self._imu_gyr[-1:]
+        d = self.dtype
+        return (
+            jnp.asarray(dts, d),
+            jnp.asarray(accs, d),
+            jnp.asarray(gyrs, d),
+            jnp.asarray(mask),
+            jnp.asarray(has),
+        )
+
+    def _pack_lines(self, ln_ids, ln_obs, ln_vps, ln_vp_valid):
+        if not self.use_lines or ln_ids is None:
+            return ()
+        d = self.dtype
+        vps = (
+            jnp.asarray(ln_vps, d)
+            if ln_vps is not None
+            else jnp.zeros((len(ln_ids), 3), d).at[:, 2].set(1.0)
+        )
+        vpv = (
+            jnp.asarray(ln_vp_valid)
+            if ln_vp_valid is not None
+            else jnp.zeros(len(ln_ids), bool)
+        )
+        return (jnp.asarray(ln_ids, jnp.int32), jnp.asarray(ln_obs, d), vps, vpv)
+
+    def add_frame(
+        self, t, pt_ids, pt_rays, ln_ids=None, ln_obs=None, ln_vps=None,
+        ln_vp_valid=None,
+    ):
+        """Process one camera frame.  pt_ids [M] (pad -1), pt_rays [M, 3]."""
+        cfg = self.cfg
+        nf = cfg.nf
+        imu_batch = self._pack_imu()
+        pt_ids = jnp.asarray(pt_ids, jnp.int32)
+        pt_rays = jnp.asarray(pt_rays, self.dtype)
+        ln_args = self._pack_lines(ln_ids, ln_obs, ln_vps, ln_vp_valid)
+        self.last_frame_time = float(t)
+
+        if not self.initialized:
+            idx = jnp.asarray(self.frame_count, jnp.int32)
+            self.state, self.data = self._fill_step(
+                self.state, self.data, idx, pt_ids, pt_rays, ln_args, imu_batch
+            )
+            self.frame_count += 1
+            out = None
+            if self.frame_count == nf:
+                self._key, k = jax.random.split(self._key)
+                state2, data2, ok = self._try_init(self.state, self.data, k)
+                if bool(ok):
+                    self.state, self.data = state2, data2
+                    # one full BA over the init window, then slide
+                    self.state, self.data, lm_out = jax.jit(
+                        lambda s, d: solve_window(s, d, cfg, self.params)
+                    )(self.state, self.data)
+                    prior = jax.jit(
+                        lambda s, d: marginalize_old(s, d, cfg, self.params)
+                    )(self.state, self.data)
+                    self.state, self.data = jax.jit(
+                        lambda s, d, p: slide_window_old(s, d, cfg, self.params, p)
+                    )(self.state, self.data, prior)
+                    self.initialized = True
+                    out = StepOutput(
+                        p=self.state.p[nf - 2], q=self.state.q[nf - 2],
+                        v=self.state.v[nf - 2], ba=self.state.ba[nf - 2],
+                        bg=self.state.bg[nf - 2],
+                        is_keyframe=jnp.asarray(True),
+                        failure=jnp.asarray(False), ba_cost=lm_out.cost,
+                    )
+                    self.frame_count = nf - 1
+                else:
+                    # drop the oldest raw frame and keep collecting
+                    self.state, self.data = jax.jit(
+                        lambda s, d: slide_window_old(
+                            s, d, cfg, self.params, self.data.prior
+                        )
+                    )(self.state, self.data)
+                    self.frame_count = nf - 1
+            return out
+
+        self.state, self.data, out = self._track_step(
+            self.state, self.data, pt_ids, pt_rays, ln_args, imu_batch
+        )
+        if bool(out.failure):
+            self.reset()
+        return out
+
+    def reset(self):
+        """Full reboot on failure (estimator clearState:reference)."""
+        q_ic, p_ic = self.state.q_ic, self.state.p_ic
+        self.state = empty_state(self.cfg, self.dtype)._replace(q_ic=q_ic, p_ic=p_ic)
+        self.data = empty_tracks(self.cfg, self.dtype)
+        self.frame_count = 0
+        self.initialized = False
+        self._imu_times, self._imu_acc, self._imu_gyr = [], [], []

@@ -83,7 +83,9 @@ def line_reprojection(p_i, q_i, p_ic, q_ic, orth_w, obs):
     plk_c = plk_transform(plk_b, R_cb, t_cb)
 
     nc = plk_c[..., 0:3]
-    denom = jnp.sqrt(nc[..., 0] ** 2 + nc[..., 1] ** 2)
+    # guarded: padded/degenerate slots give nc ~ 0; the caller masks the
+    # residual, but the division must not manufacture NaNs (NaN·0 = NaN)
+    denom = jnp.sqrt(jnp.maximum(nc[..., 0] ** 2 + nc[..., 1] ** 2, 1e-18))
     e1 = obs[..., 0] * nc[..., 0] + obs[..., 1] * nc[..., 1] + nc[..., 2]
     e2 = obs[..., 2] * nc[..., 0] + obs[..., 3] * nc[..., 1] + nc[..., 2]
     return jnp.stack([e1 / denom, e2 / denom], axis=-1)
@@ -106,10 +108,12 @@ def vp_alignment(p_i, q_i, p_ic, q_ic, orth_w, vp_obs):
     plk_c = plk_transform(plk_b, R_cb, t_cb)
 
     d_c = plk_c[..., 3:6]
+    dz = jnp.where(jnp.abs(d_c[..., 2]) < 1e-9, 1e-9, d_c[..., 2])
+    vz = jnp.where(jnp.abs(vp_obs[..., 2]) < 1e-9, 1e-9, vp_obs[..., 2])
     return jnp.stack(
         [
-            d_c[..., 0] / d_c[..., 2] - vp_obs[..., 0] / vp_obs[..., 2],
-            d_c[..., 1] / d_c[..., 2] - vp_obs[..., 1] / vp_obs[..., 2],
+            d_c[..., 0] / dz - vp_obs[..., 0] / vz,
+            d_c[..., 1] / dz - vp_obs[..., 1] / vz,
         ],
         axis=-1,
     )

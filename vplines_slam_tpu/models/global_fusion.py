@@ -1,0 +1,211 @@
+"""GNSS + VIO global fusion (pose-graph over the full trajectory).
+
+Re-design of ``global_fusion/src/globalOpt.{h,cpp}`` + ``Factors.h``:
+- geodetic -> local ENU conversion (GeographicLib LocalCartesian parity,
+  GPS2XYZ) implemented directly on WGS84,
+- chain of relative-pose VIO factors (RelativeRTError, Factors.h:63-114,
+  t_var=0.1, q_var=0.01) + GPS position factors (TError, Factors.h:26-45,
+  Huber) solved by the shared LM engine,
+- WGPS_T_WVIO alignment transform maintained after each solve so incoming
+  VIO poses are re-mapped into the global frame (globalOpt.cpp:226-260).
+
+Fixed-capacity masked node array instead of the reference's unbounded map
+(its full-trajectory re-solve is the documented scalability cliff —
+globalOpt.cpp:124-145; capacity + masking keeps the solve O(capacity)).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..solver import lm as lm_mod
+from ..utils.geometry import (
+    quat_conj,
+    quat_mul,
+    quat_normalize,
+    quat_rotate,
+    quat_to_rot,
+    rot_to_quat,
+    so3_exp_quat,
+)
+
+# WGS84
+_A = 6378137.0
+_E2 = 6.69437999014e-3
+
+
+def geodetic_to_ecef(lat_deg, lon_deg, alt):
+    lat = jnp.deg2rad(lat_deg)
+    lon = jnp.deg2rad(lon_deg)
+    s, c = jnp.sin(lat), jnp.cos(lat)
+    n = _A / jnp.sqrt(1.0 - _E2 * s * s)
+    x = (n + alt) * c * jnp.cos(lon)
+    y = (n + alt) * c * jnp.sin(lon)
+    z = (n * (1.0 - _E2) + alt) * s
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def geodetic_to_enu(lat, lon, alt, lat0, lon0, alt0):
+    """GPS2XYZ parity (LocalCartesian with origin at the first fix)."""
+    p = geodetic_to_ecef(lat, lon, alt)
+    p0 = geodetic_to_ecef(lat0, lon0, alt0)
+    d = p - p0
+    la0 = jnp.deg2rad(lat0)
+    lo0 = jnp.deg2rad(lon0)
+    sl, cl = jnp.sin(la0), jnp.cos(la0)
+    so, co = jnp.sin(lo0), jnp.cos(lo0)
+    e = -so * d[..., 0] + co * d[..., 1]
+    n = -sl * co * d[..., 0] - sl * so * d[..., 1] + cl * d[..., 2]
+    u = cl * co * d[..., 0] + cl * so * d[..., 1] + sl * d[..., 2]
+    return jnp.stack([e, n, u], axis=-1)
+
+
+class FusionConfig(NamedTuple):
+    max_nodes: int = 128
+    t_var: float = 0.1  # RelativeRTError translation variance
+    q_var: float = 0.01  # rotation variance
+    gps_huber: float = 1.0
+    iters: int = 5  # reference budget (globalOpt.cpp:116)
+
+
+class FusionState(NamedTuple):
+    count: jnp.ndarray  # [] int32
+    p_vio: jnp.ndarray  # [N, 3] raw VIO poses
+    q_vio: jnp.ndarray  # [N, 4]
+    p_glb: jnp.ndarray  # [N, 3] fused (optimized) poses
+    q_glb: jnp.ndarray  # [N, 4]
+    gps: jnp.ndarray  # [N, 3] ENU measurement
+    gps_acc: jnp.ndarray  # [N] accuracy (std, m)
+    has_gps: jnp.ndarray  # [N] bool
+    # alignment world_gps <- world_vio
+    q_wgw: jnp.ndarray  # [4]
+    p_wgw: jnp.ndarray  # [3]
+
+
+def empty_fusion(cfg: FusionConfig, dtype=jnp.float64) -> FusionState:
+    N = cfg.max_nodes
+    return FusionState(
+        count=jnp.asarray(0, jnp.int32),
+        p_vio=jnp.zeros((N, 3), dtype),
+        q_vio=jnp.zeros((N, 4), dtype).at[:, 0].set(1.0),
+        p_glb=jnp.zeros((N, 3), dtype),
+        q_glb=jnp.zeros((N, 4), dtype).at[:, 0].set(1.0),
+        gps=jnp.zeros((N, 3), dtype),
+        gps_acc=jnp.ones((N,), dtype),
+        has_gps=jnp.zeros((N,), bool),
+        q_wgw=jnp.array([1.0, 0.0, 0.0, 0.0], dtype),
+        p_wgw=jnp.zeros(3, dtype),
+    )
+
+
+def input_odom(st: FusionState, cfg: FusionConfig, p, q):
+    """Append a VIO pose (inputOdom); global seed = aligned VIO.  When the
+    buffer is full the oldest node is dropped (sliding history)."""
+    full = st.count >= cfg.max_nodes
+
+    def drop_oldest(st):
+        sh = lambda a: jnp.concatenate([a[1:], a[-1:]], axis=0)
+        return st._replace(
+            count=st.count - 1,
+            p_vio=sh(st.p_vio), q_vio=sh(st.q_vio),
+            p_glb=sh(st.p_glb), q_glb=sh(st.q_glb),
+            gps=sh(st.gps), gps_acc=sh(st.gps_acc), has_gps=sh(st.has_gps),
+        )
+
+    st = jax.lax.cond(full, drop_oldest, lambda s: s, st)
+    k = st.count
+    p_al = quat_rotate(st.q_wgw, p) + st.p_wgw
+    q_al = quat_normalize(quat_mul(st.q_wgw, q))
+    return st._replace(
+        count=k + 1,
+        p_vio=st.p_vio.at[k].set(p),
+        q_vio=st.q_vio.at[k].set(q),
+        p_glb=st.p_glb.at[k].set(p_al),
+        q_glb=st.q_glb.at[k].set(q_al),
+        has_gps=st.has_gps.at[k].set(False),
+    )
+
+
+def input_gps(st: FusionState, enu, acc):
+    """Attach a GPS fix to the newest node (±10 ms association done by the
+    caller, globalOptNode.cpp:148-191)."""
+    k = jnp.maximum(st.count - 1, 0)
+    return st._replace(
+        gps=st.gps.at[k].set(enu),
+        gps_acc=st.gps_acc.at[k].set(acc),
+        has_gps=st.has_gps.at[k].set(True),
+    )
+
+
+def optimize(st: FusionState, cfg: FusionConfig):
+    """Re-solve the trajectory (globalOpt.cpp optimize:101-260)."""
+    N = cfg.max_nodes
+    dtype = st.p_vio.dtype
+    active = jnp.arange(N) < st.count
+
+    # VIO relative measurements
+    q_rel = jax.vmap(
+        lambda i: quat_mul(quat_conj(st.q_vio[i]), st.q_vio[i + 1])
+    )(jnp.arange(N - 1))
+    t_rel = jax.vmap(
+        lambda i: quat_rotate(quat_conj(st.q_vio[i]), st.p_vio[i + 1] - st.p_vio[i])
+    )(jnp.arange(N - 1))
+
+    def residual(x):
+        p = x[:, 0:3]
+        w = x[:, 3:6]  # rotation tangent around the seed
+        q = jax.vmap(
+            lambda qs, wi: quat_normalize(quat_mul(qs, so3_exp_quat(wi)))
+        )(st.q_glb, w)
+
+        def rel_res(i):
+            ok = (active[i + 1]).astype(dtype)
+            ti = quat_rotate(quat_conj(q[i]), p[i + 1] - p[i])
+            r_t = (ti - t_rel[i]) / cfg.t_var
+            dq = quat_mul(quat_conj(q_rel[i]), quat_mul(quat_conj(q[i]), q[i + 1]))
+            r_q = 2.0 * dq[1:4] / cfg.q_var
+            return jnp.concatenate([r_t, r_q]) * ok
+
+        r_rel = jax.vmap(rel_res)(jnp.arange(N - 1)).reshape(-1)
+
+        def gps_res(i):
+            ok = (active[i] & st.has_gps[i]).astype(dtype)
+            r = (p[i] - st.gps[i]) / jnp.maximum(st.gps_acc[i], 0.1)
+            # Huber
+            s = jax.lax.stop_gradient(jnp.sum(r * r))
+            wgt = jnp.where(s <= cfg.gps_huber**2, 1.0, cfg.gps_huber / jnp.sqrt(s))
+            return r * jnp.sqrt(wgt) * ok
+
+        r_gps = jax.vmap(gps_res)(jnp.arange(N)).reshape(-1)
+        return jnp.concatenate([r_rel, r_gps])
+
+    x0 = jnp.concatenate([st.p_glb, jnp.zeros((N, 3), dtype)], axis=1)
+    out = lm_mod.lm_solve(
+        lambda x: residual(x.reshape(N, 6)),
+        lambda x, d: x + d,
+        x0.reshape(-1),
+        lm_mod.SchurSpec(dense_dim=6 * N),
+        lm_mod.LMConfig(num_iters=cfg.iters),
+    )
+    xf = out.x.reshape(N, 6)
+    p_new = xf[:, 0:3]
+    q_new = jax.vmap(
+        lambda qs, wi: quat_normalize(quat_mul(qs, so3_exp_quat(wi)))
+    )(st.q_glb, xf[:, 3:6])
+
+    # update WGPS_T_WVIO from the newest node (globalOpt.cpp:246-258)
+    k = jnp.maximum(st.count - 1, 0)
+    q_wgw = quat_normalize(quat_mul(q_new[k], quat_conj(st.q_vio[k])))
+    p_wgw = p_new[k] - quat_rotate(q_wgw, st.p_vio[k])
+    return st._replace(p_glb=p_new, q_glb=q_new, q_wgw=q_wgw, p_wgw=p_wgw), out
+
+
+def get_global_odom(st: FusionState, p_vio, q_vio):
+    """Map a live VIO pose through the current alignment (getGlobalOdom)."""
+    return (
+        quat_rotate(st.q_wgw, p_vio) + st.p_wgw,
+        quat_normalize(quat_mul(st.q_wgw, q_vio)),
+    )

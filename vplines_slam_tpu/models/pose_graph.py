@@ -1,0 +1,313 @@
+"""Loop closure + 4-DoF pose graph optimisation.
+
+Re-design of ``pose_graph/src/{pose_graph.cpp,keyframe.cpp}``:
+
+- keyframe features: FAST+BRIEF (ops/brief) instead of DVision BRIEF with a
+  shipped pattern (keyframe.cpp computeBRIEFPoint:87),
+- place retrieval: one cosine matmul against per-keyframe global binary
+  signatures (the TPU-native replacement of the DBoW2 inverted-file query,
+  pose_graph.cpp detectLoop:304-386 — same top-4 + skip-last-50 + score-gate
+  semantics),
+- geometric verify: Hamming descriptor matching (≤80 bits,
+  keyframe.cpp searchByBRIEFDes:152) + batched PnP-RANSAC
+  (keyframe.cpp PnPRANSAC:200) + the inlier/yaw/translation gates
+  (:472-480),
+- 4-DoF pose graph: {yaw, t} per keyframe, sequential edges to 4
+  predecessors + loop edges with the reference's residual forms
+  (FourDOFError pose_graph.h:159-201, loop weight /10 :203-248), solved by
+  the shared LM engine with the first looped frame held fixed
+  (optimize4DoF:403-580).
+
+Fixed-capacity device arrays; the keyframe count is a traced scalar and all
+reductions are masked.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import brief as brief_mod
+from ..ops import mvg
+from ..solver import lm as lm_mod
+from ..utils.geometry import (
+    quat_conj,
+    quat_mul,
+    quat_rotate,
+    quat_to_rot,
+    rot_to_quat,
+    rot_to_ypr,
+    ypr_to_rot,
+)
+
+
+class PoseGraphConfig(NamedTuple):
+    max_keyframes: int = 256
+    n_features: int = 256  # FAST+BRIEF per keyframe (reference: 500)
+    n_window_pts: int = 64  # tracked window points carried for PnP
+    skip_recent: int = 50  # detectLoop exclusion zone
+    min_score: float = 0.08  # coarse signature gate (DBoW 0.015 analog)
+    top_k: int = 4
+    min_matches: int = 20  # MIN_LOOP_NUM
+    pnp_thresh: float = 8.0 / 460.0
+    max_yaw: float = 30.0  # deg gate
+    max_t: float = 20.0  # m gate
+    seq_edges: int = 4
+    pgo_iters: int = 6
+
+
+class KeyframeDB(NamedTuple):
+    count: jnp.ndarray  # [] int32
+    p_vio: jnp.ndarray  # [K, 3] VIO pose at insertion
+    q_vio: jnp.ndarray  # [K, 4]
+    p_pgo: jnp.ndarray  # [K, 3] optimized
+    yaw_pgo: jnp.ndarray  # [K] optimized yaw (deg)
+    sig: jnp.ndarray  # [K, 256] global signatures
+    desc: jnp.ndarray  # [K, F, 8] uint32 FAST+BRIEF
+    kp_norm: jnp.ndarray  # [K, F, 2] normalized coords of FAST corners
+    kp_valid: jnp.ndarray  # [K, F]
+    wdesc: jnp.ndarray  # [K, Wp, 8] descriptors at tracked window points
+    w3d: jnp.ndarray  # [K, Wp, 3] their world 3D (VIO frame)
+    w_valid: jnp.ndarray  # [K, Wp]
+    loop_to: jnp.ndarray  # [K] int32 loop target (-1)
+    loop_t: jnp.ndarray  # [K, 3] relative translation (in old frame)
+    loop_yaw: jnp.ndarray  # [K] relative yaw (deg)
+
+
+def empty_db(cfg: PoseGraphConfig, dtype=jnp.float64) -> KeyframeDB:
+    K, F, Wp = cfg.max_keyframes, cfg.n_features, cfg.n_window_pts
+    return KeyframeDB(
+        count=jnp.asarray(0, jnp.int32),
+        p_vio=jnp.zeros((K, 3), dtype),
+        q_vio=jnp.zeros((K, 4), dtype).at[:, 0].set(1.0),
+        p_pgo=jnp.zeros((K, 3), dtype),
+        yaw_pgo=jnp.zeros((K,), dtype),
+        sig=jnp.zeros((K, 256), jnp.float32),
+        desc=jnp.zeros((K, F, 8), jnp.uint32),
+        kp_norm=jnp.zeros((K, F, 2), dtype),
+        kp_valid=jnp.zeros((K, F), bool),
+        wdesc=jnp.zeros((K, Wp, 8), jnp.uint32),
+        w3d=jnp.zeros((K, Wp, 3), dtype),
+        w_valid=jnp.zeros((K, Wp), bool),
+        loop_to=jnp.full((K,), -1, jnp.int32),
+        loop_t=jnp.zeros((K, 3), dtype),
+        loop_yaw=jnp.zeros((K,), dtype),
+    )
+
+
+def extract_keyframe_features(img, cam_lift, cfg: PoseGraphConfig, window_xy=None):
+    """FAST+BRIEF on the keyframe image (+BRIEF at tracked window points).
+
+    cam_lift: pixel->normalized function.  Returns the per-keyframe feature
+    block to pass to add_keyframe.
+    """
+    xy, valid = brief_mod.detect_fast(img, cfg.n_features)
+    desc = brief_mod.describe_brief(img, xy, valid)
+    norm = cam_lift(xy)[..., 0:2]
+    sig = brief_mod.global_signature(desc, valid)
+    out = {"desc": desc, "kp_norm": norm, "kp_valid": valid, "sig": sig}
+    if window_xy is not None:
+        wxy, wvalid = window_xy
+        out["wdesc"] = brief_mod.describe_brief(img, wxy, wvalid)
+    return out
+
+
+def add_keyframe(
+    db: KeyframeDB, cfg: PoseGraphConfig, p_vio, q_vio, sig, desc, kp_norm,
+    kp_valid, wdesc, w3d, w_valid,
+):
+    k = db.count
+    # seed PGO state with drift-corrected VIO pose
+    yaw_vio = rot_to_ypr(quat_to_rot(q_vio))[0]
+    return db._replace(
+        count=k + 1,
+        p_vio=db.p_vio.at[k].set(p_vio),
+        q_vio=db.q_vio.at[k].set(q_vio),
+        p_pgo=db.p_pgo.at[k].set(p_vio),
+        yaw_pgo=db.yaw_pgo.at[k].set(yaw_vio),
+        sig=db.sig.at[k].set(sig.astype(jnp.float32)),
+        desc=db.desc.at[k].set(desc),
+        kp_norm=db.kp_norm.at[k].set(kp_norm),
+        kp_valid=db.kp_valid.at[k].set(kp_valid),
+        wdesc=db.wdesc.at[k].set(wdesc),
+        w3d=db.w3d.at[k].set(w3d),
+        w_valid=db.w_valid.at[k].set(w_valid),
+    )
+
+
+def retrieve_candidates(db: KeyframeDB, cfg: PoseGraphConfig, sig):
+    """Coarse place retrieval: cosine score against all stored signatures,
+    excluding the most recent skip_recent frames (detectLoop:304-386).
+
+    Returns (idx [top_k], score [top_k])."""
+    scores = db.sig @ sig.astype(jnp.float32)  # [K]
+    k = db.count
+    idx = jnp.arange(db.sig.shape[0])
+    eligible = (idx < k - cfg.skip_recent) & (idx >= 0)
+    scores = jnp.where(eligible, scores, -1.0)
+    top_s, top_i = jax.lax.top_k(scores, cfg.top_k)
+    return top_i, top_s
+
+
+def verify_loop(
+    db: KeyframeDB, cfg: PoseGraphConfig, cand, wdesc, w3d, w_valid,
+    p_cur, q_cur, key,
+):
+    """Descriptor match + PnP-RANSAC + gates against one candidate keyframe
+    (keyframe.cpp findConnection:259-480).
+
+    Returns (ok, rel_t (in old frame), rel_yaw deg, n_inliers)."""
+    old_desc = db.desc[cand]
+    old_valid = db.kp_valid[cand]
+    old_norm = db.kp_norm[cand]
+
+    midx, dist = brief_mod.match_descriptors(wdesc, w_valid, old_desc, old_valid)
+    m_ok = midx >= 0
+    safe = jnp.where(m_ok, midx, 0)
+    obs_old = old_norm[safe]  # [Wp, 2] matched 2D in old frame
+
+    R0, t0, inl, n_inl = mvg.ransac_pnp(
+        w3d, obs_old, m_ok, key, n_hyp=32, threshold=cfg.pnp_thresh
+    )
+    # T_old_w: x_old = R0 x_w + t0 -> old pose in world
+    R_w_old = R0.T
+    p_old_pnp = -R0.T @ t0
+    q_w_old = rot_to_quat(R_w_old)
+
+    # relative pose: cur body expressed in the PnP-estimated old frame
+    rel_t = quat_rotate(quat_conj(q_w_old), p_cur - p_old_pnp)
+    yaw_cur = rot_to_ypr(quat_to_rot(q_cur))[0]
+    yaw_old = rot_to_ypr(quat_to_rot(q_w_old))[0]
+    rel_yaw = yaw_cur - yaw_old
+
+    # gate against the DB pose of the old keyframe (abs motion plausibility)
+    ok = (
+        (n_inl >= cfg.min_matches)
+        & (jnp.abs((rel_yaw + 180.0) % 360.0 - 180.0) < cfg.max_yaw)
+        & (jnp.linalg.norm(rel_t) < cfg.max_t)
+    )
+    return ok, rel_t, rel_yaw, n_inl
+
+
+def record_loop(db: KeyframeDB, k, cand, rel_t, rel_yaw):
+    return db._replace(
+        loop_to=db.loop_to.at[k].set(cand),
+        loop_t=db.loop_t.at[k].set(rel_t),
+        loop_yaw=db.loop_yaw.at[k].set(rel_yaw),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4-DoF pose graph optimisation
+# ---------------------------------------------------------------------------
+
+
+def optimize_4dof(db: KeyframeDB, cfg: PoseGraphConfig):
+    """Masked fixed-shape 4-DoF PGO over the whole DB (optimize4DoF:403-580).
+
+    Parameters per keyframe: [yaw (deg), x, y, z].  Pitch/roll are taken from
+    VIO and held fixed (AngleLocalParameterization semantics).  The earliest
+    keyframe is the gauge anchor.
+    """
+    K = db.p_vio.shape[0]
+    dtype = db.p_vio.dtype
+    count = db.count
+    active = jnp.arange(K) < count
+
+    ypr_vio = jax.vmap(lambda q: rot_to_ypr(quat_to_rot(q)))(db.q_vio)  # [K,3]
+
+    # measurements between i and j from VIO: t_ij in frame i, yaw_ij
+    def rel_meas(i, j):
+        Ri = ypr_to_rot(ypr_vio[i])
+        t = Ri.T @ (db.p_vio[j] - db.p_vio[i])
+        dyaw = ypr_vio[j, 0] - ypr_vio[i, 0]
+        return t, dyaw
+
+    def residual(x):
+        yaw = x[:, 0]
+        t = x[:, 1:4]
+
+        def edge_res(i, j, t_meas, yaw_meas, w):
+            ypr_i = jnp.stack([yaw[i], ypr_vio[i, 1], ypr_vio[i, 2]])
+            Ri = ypr_to_rot(ypr_i)
+            r_t = Ri.T @ (t[j] - t[i]) - t_meas
+            r_y = (yaw[j] - yaw[i] - yaw_meas + 180.0) % 360.0 - 180.0
+            return jnp.concatenate([r_t, r_y[None] / 10.0]) * w
+
+        # sequential edges: j to its up-to-4 predecessors
+        def seq_edges(j):
+            def one(d):
+                i = j - d
+                okd = (i >= 0) & active[j] & (j >= 1)
+                isafe = jnp.maximum(i, 0)
+                tm, ym = rel_meas(isafe, j)
+                return edge_res(isafe, j, tm, ym, okd.astype(dtype))
+
+            return jax.vmap(one)(jnp.arange(1, cfg.seq_edges + 1))
+
+        r_seq = jax.vmap(seq_edges)(jnp.arange(K))  # [K, E, 4]
+
+        # loop edges (weight: yaw /10 like FourDOFWeightError)
+        def loop_edge(j):
+            i = db.loop_to[j]
+            okl = (i >= 0) & active[j]
+            isafe = jnp.maximum(i, 0)
+            return edge_res(
+                isafe, j, db.loop_t[j], db.loop_yaw[j], okl.astype(dtype)
+            ) * 2.0
+
+        r_loop = jax.vmap(loop_edge)(jnp.arange(K))  # [K, 4]
+
+        # gauge: pin the first keyframe at its current estimate
+        r_gauge = (
+            jnp.concatenate(
+                [x[0, 1:4] - db.p_pgo[0], x[0, 0:1] - db.yaw_pgo[0:1]]
+            )
+            * 100.0
+        )
+        return jnp.concatenate([r_seq.reshape(-1), r_loop.reshape(-1), r_gauge])
+
+    x0 = jnp.concatenate([db.yaw_pgo[:, None], db.p_pgo], axis=1)
+    # re-seed from VIO for inactive entries to keep residuals zero there
+    spec = lm_mod.SchurSpec(dense_dim=4 * K)
+    out = lm_mod.lm_solve(
+        lambda x: residual(x.reshape(K, 4)),
+        lambda x, d: x + d,
+        x0.reshape(-1),
+        spec,
+        lm_mod.LMConfig(num_iters=cfg.pgo_iters),
+    )
+    xf = out.x.reshape(K, 4)
+    return db._replace(yaw_pgo=xf[:, 0], p_pgo=xf[:, 1:4]), out
+
+
+def save_db(db: KeyframeDB, path):
+    """Persist the keyframe database (savePoseGraph:697 parity — poses,
+    loop_info, keypoints and packed descriptors in one npz)."""
+    import numpy as np
+
+    np.savez_compressed(path, **{k: np.asarray(v) for k, v in db._asdict().items()})
+
+
+def load_db(path) -> KeyframeDB:
+    """Reload a persisted database (loadPoseGraph:752 parity); enables
+    multi-session relocalization against a prior map."""
+    import numpy as np
+
+    with np.load(path) as z:
+        return KeyframeDB(**{k: jnp.asarray(z[k]) for k in z.files})
+
+
+def drift_correction(db: KeyframeDB, cfg: PoseGraphConfig):
+    """(R_drift yaw-only, t_drift) mapping VIO poses into the corrected frame
+    (optimize4DoF:549-573): computed at the newest optimized keyframe."""
+    k = jnp.maximum(db.count - 1, 0)
+    yaw_vio = rot_to_ypr(quat_to_rot(db.q_vio[k]))[0]
+    dyaw = db.yaw_pgo[k] - yaw_vio
+    z = jnp.zeros_like(dyaw)
+    R_drift = ypr_to_rot(jnp.stack([dyaw, z, z]))
+    t_drift = db.p_pgo[k] - R_drift @ db.p_vio[k]
+    return R_drift, t_drift

@@ -1,0 +1,152 @@
+"""FAST corners + BRIEF binary descriptors + Hamming matching.
+
+Replaces the reference's keyframe feature stack for loop closure
+(``pose_graph/src/keyframe.cpp``: 500 FAST + BRIEF via DVision::BRIEF
+computeBRIEFPoint:87, descriptor match searchByBRIEFDes:152 with Hamming
+distance ≤ 80 gate) — as batched XLA ops:
+
+- FAST-9: the 16-pixel ring test evaluated for every pixel at once
+  (shifted-image stack instead of per-pixel branching),
+- BRIEF-256: a fixed seeded point-pair pattern (the reference ships a
+  pattern yml; any fixed pattern works as long as both sides use it),
+  packed into 8 uint32 words,
+- Hamming: XOR + popcount, [N, M] distance matrix in one shot.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .image import gaussian_blur
+
+# 16-point Bresenham circle of radius 3 (FAST)
+_CIRCLE = np.array(
+    [
+        (0, -3), (1, -3), (2, -2), (3, -1), (3, 0), (3, 1), (2, 2), (1, 3),
+        (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1), (-2, -2), (-3 + 2, -3 + 0),
+    ]
+)
+_CIRCLE[15] = (-1, -3)
+
+
+def fast_score(img, thresh=0.05):
+    """FAST-9 corner response for every pixel.
+
+    Returns score map [H, W] (0 where not a corner): contiguous arc of ≥9
+    ring pixels all brighter/darker than center ± thresh; score = arc margin.
+    """
+    H, W = img.shape
+    ring = []
+    for dx, dy in _CIRCLE:
+        ring.append(jnp.roll(img, (-dy, -dx), axis=(0, 1)))
+    ring = jnp.stack(ring, axis=-1)  # [H, W, 16]
+    c = img[..., None]
+    brighter = ring > c + thresh
+    darker = ring < c - thresh
+
+    def arc9(mask):
+        # any run of 9 consecutive (circular): AND of 9 rolled masks
+        m = mask
+        acc = m
+        for k in range(1, 9):
+            acc = acc & jnp.roll(m, -k, axis=-1)
+        return jnp.any(acc, axis=-1)
+
+    is_corner = arc9(brighter) | arc9(darker)
+    margin = jnp.maximum(
+        jnp.sum(jnp.maximum(ring - c - thresh, 0.0), axis=-1),
+        jnp.sum(jnp.maximum(c - thresh - ring, 0.0), axis=-1),
+    )
+    score = jnp.where(is_corner, margin, 0.0)
+    # kill borders
+    yy = jnp.arange(H)[:, None]
+    xx = jnp.arange(W)[None, :]
+    inb = (yy >= 16) & (yy < H - 16) & (xx >= 16) & (xx < W - 16)
+    return jnp.where(inb, score, 0.0)
+
+
+def detect_fast(img, max_corners=500, thresh=0.05, nms_radius=3):
+    """Top-K FAST corners with NMS.  Returns (xy [K,2], valid [K])."""
+    score = fast_score(img, thresh)
+    k = 2 * nms_radius + 1
+    mx = jax.lax.reduce_window(score, -jnp.inf, jax.lax.max, (k, k), (1, 1), "SAME")
+    score = jnp.where(score >= mx, score, 0.0)
+    H, W = img.shape
+    flat = score.reshape(-1)
+    top, idx = jax.lax.top_k(flat, max_corners)
+    xy = jnp.stack(
+        [(idx % W).astype(img.dtype), (idx // W).astype(img.dtype)], axis=-1
+    )
+    return xy, top > 0.0
+
+
+def brief_pattern(n_bits=256, patch=31, seed=7):
+    """Deterministic Gaussian BRIEF pattern (pairs within a patch x patch box)."""
+    rng = np.random.default_rng(seed)
+    sigma = patch / 5.0
+    a = np.clip(rng.normal(0, sigma, (n_bits, 2)), -(patch // 2), patch // 2)
+    b = np.clip(rng.normal(0, sigma, (n_bits, 2)), -(patch // 2), patch // 2)
+    return jnp.asarray(a), jnp.asarray(b)
+
+
+def describe_brief(img, xy, valid, pattern=None):
+    """BRIEF-256 descriptors at keypoints.  Returns uint32 [K, 8]."""
+    from .image import bilinear_sample
+
+    if pattern is None:
+        pattern = brief_pattern()
+    pa, pb = pattern
+    imgs = gaussian_blur(img, 7, 2.0)
+
+    def one(p):
+        va = bilinear_sample(imgs, p[None, :] + pa.astype(img.dtype))
+        vb = bilinear_sample(imgs, p[None, :] + pb.astype(img.dtype))
+        bits = (va < vb).astype(jnp.uint32)  # [256]
+        words = bits.reshape(8, 32)
+        shifts = jnp.arange(32, dtype=jnp.uint32)
+        return jnp.sum(words << shifts[None, :], axis=1, dtype=jnp.uint32)
+
+    desc = jax.vmap(one)(xy)
+    return jnp.where(valid[:, None], desc, jnp.zeros_like(desc))
+
+
+def _popcount32(x):
+    x = x - ((x >> 1) & jnp.uint32(0x55555555))
+    x = (x & jnp.uint32(0x33333333)) + ((x >> 2) & jnp.uint32(0x33333333))
+    x = (x + (x >> 4)) & jnp.uint32(0x0F0F0F0F)
+    return (x * jnp.uint32(0x01010101)) >> 24
+
+
+def hamming_matrix(da, db):
+    """Pairwise Hamming distances: da [N, 8] uint32, db [M, 8] -> [N, M] int32."""
+    x = da[:, None, :] ^ db[None, :, :]
+    return jnp.sum(_popcount32(x), axis=-1).astype(jnp.int32)
+
+
+def match_descriptors(da, va, db, vb, max_dist=80):
+    """Best match per row with the reference's distance gate
+    (keyframe.cpp searchByBRIEFDes:152, threshold 80 bits).
+
+    Returns (idx [N] into db or -1, dist [N])."""
+    d = hamming_matrix(da, db)
+    d = jnp.where(vb[None, :], d, 10_000)
+    best = jnp.argmin(d, axis=1)
+    dist = jnp.min(d, axis=1)
+    ok = va & (dist < max_dist)
+    return jnp.where(ok, best, -1), dist
+
+
+def global_signature(desc, valid, dim=256):
+    """Mean-of-bits float signature for coarse place retrieval — the
+    TPU-native stand-in for the DBoW2 vocabulary score (one matmul against
+    the keyframe database instead of an inverted file)."""
+    bits = jnp.unpackbits(
+        desc.view(jnp.uint8), axis=-1, count=dim, bitorder="little"
+    ).astype(jnp.float32)
+    m = valid.astype(jnp.float32)[:, None]
+    sig = jnp.sum(bits * m, axis=0) / jnp.maximum(jnp.sum(m), 1.0)
+    sig = sig - 0.5
+    n = jnp.linalg.norm(sig)
+    return sig / jnp.maximum(n, 1e-9)

@@ -1,0 +1,180 @@
+"""Batched pyramidal Lucas-Kanade tracking (2D points and 1D along-normal).
+
+TPU-native replacement for (a) ``cv::calcOpticalFlowPyrLK`` in the point
+front-end (feature_tracker.cpp:139, 21x21, 3 levels) and (b) the reference's
+custom SIMD KLT (``line_matching/src/klt.{h,cpp}`` + lk_tracker_invoker_*):
+1D along-direction mode (lk_tracker_invoker_1d.cpp:150-424), per-patch
+gain/bias illumination adaptation (getImageNormParams, applied at :359-382).
+
+Instead of SSE over pixels, every feature is a lane: patches for all N
+features are gathered at once, iterations are fixed-count with masked
+convergence, and all reductions are batched (VPU/MXU shapes).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .image import bilinear_sample, build_pyramid, scharr_gradients
+
+
+class KLTConfig(NamedTuple):
+    win: int = 21  # patch side (reference 21x21)
+    levels: int = 3  # pyramid levels (reference 3)
+    iters: int = 10  # fixed iterations per level (reference: 30 max w/ eps)
+    min_eig: float = 1e-4  # spatial-gradient conditioning threshold
+    max_residual: float = 0.08  # mean abs photometric residual gate ([0,1] images)
+    illum_adapt: bool = False  # per-patch gain/bias (line-matcher KLT mode)
+
+
+def _patch_coords(center, win, dtype):
+    r = (win - 1) / 2.0
+    g = jnp.arange(win, dtype=dtype) - r
+    gy, gx = jnp.meshgrid(g, g, indexing="ij")
+    return jnp.stack(
+        [center[0] + gx, center[1] + gy], axis=-1
+    )  # [win, win, 2] (x, y)
+
+
+def _track_level(img0, img1, pts0, guess, cfg: KLTConfig, dtype):
+    """One pyramid level of inverse-compositional LK for all N features.
+
+    pts0: [N, 2] template centers in img0; guess: [N, 2] current flow.
+    Returns (flow, ok, mean_residual).
+    """
+    gx0, gy0 = scharr_gradients(img0)
+
+    def one(p0, d0):
+        coords = _patch_coords(p0, cfg.win, dtype)
+        T = bilinear_sample(img0, coords)
+        Ix = bilinear_sample(gx0, coords)
+        Iy = bilinear_sample(gy0, coords)
+        # 2x2 spatial gradient matrix (constant over iterations)
+        a = jnp.sum(Ix * Ix)
+        b = jnp.sum(Ix * Iy)
+        c = jnp.sum(Iy * Iy)
+        det = a * c - b * b
+        n = cfg.win * cfg.win
+        min_eig = (c + a - jnp.sqrt((a - c) ** 2 + 4.0 * b * b)) / (2.0 * n)
+        ok = min_eig > cfg.min_eig
+        inv = (
+            jnp.array([[c, -b], [-b, a]], dtype)
+            / jnp.where(det > 1e-12, det, 1.0)
+        )
+
+        def body(_, d):
+            I = bilinear_sample(img1, coords + d)
+            if cfg.illum_adapt:
+                # gain/bias fit: I' = alpha*I + beta matched to template stats
+                mI, mT = jnp.mean(I), jnp.mean(T)
+                sI = jnp.std(I) + 1e-6
+                sT = jnp.std(T) + 1e-6
+                I = (I - mI) * (sT / sI) + mT
+            r = I - T
+            g = jnp.stack([jnp.sum(r * Ix), jnp.sum(r * Iy)])
+            step = inv @ g
+            return d - step
+
+        d = jax.lax.fori_loop(0, cfg.iters, body, d0)
+        I = bilinear_sample(img1, coords + d)
+        if cfg.illum_adapt:
+            mI, mT = jnp.mean(I), jnp.mean(T)
+            sI = jnp.std(I) + 1e-6
+            sT = jnp.std(T) + 1e-6
+            I = (I - mI) * (sT / sI) + mT
+        resid = jnp.mean(jnp.abs(I - T))
+        return d, ok, resid
+
+    return jax.vmap(one)(pts0, guess)
+
+
+def track(img0, img1, pts0, cfg: KLTConfig = KLTConfig(), init_flow=None):
+    """Track pts0 [N,2] from img0 to img1 through a pyramid.
+
+    Returns (pts1 [N,2], ok [N], residual [N]).  Border/occlusion failures are
+    flagged, matching the status output of calcOpticalFlowPyrLK.
+    """
+    dtype = img0.dtype
+    N = pts0.shape[0]
+    pyr0 = build_pyramid(img0, cfg.levels)
+    pyr1 = build_pyramid(img1, cfg.levels)
+    scale = 2.0 ** (cfg.levels - 1)
+    flow = (
+        jnp.zeros_like(pts0) if init_flow is None else init_flow.astype(dtype)
+    ) / scale
+    ok_all = jnp.ones(N, bool)
+    resid = jnp.zeros(N, dtype)
+    for lvl in range(cfg.levels - 1, -1, -1):
+        s = 2.0**lvl
+        flow, ok, resid = _track_level(
+            pyr0[lvl], pyr1[lvl], pts0 / s, flow, cfg, dtype
+        )
+        ok_all = ok_all & ok
+        if lvl > 0:
+            flow = flow * 2.0
+    pts1 = pts0 + flow
+    H, W = img0.shape
+    r = (cfg.win - 1) / 2.0
+    inb = (
+        (pts1[:, 0] >= r)
+        & (pts1[:, 0] < W - r)
+        & (pts1[:, 1] >= r)
+        & (pts1[:, 1] < H - r)
+    )
+    ok_all = ok_all & inb & (resid < cfg.max_residual)
+    return pts1, ok_all, resid
+
+
+def track_1d(img0, img1, pts0, dirs, cfg: KLTConfig = KLTConfig(win=15, iters=8)):
+    """1D KLT: flow constrained to the given unit direction per feature
+    (lk_tracker_invoker_1d.cpp:150-424 — used by the line matcher to slide
+    anchor points along the line normal).
+
+    dirs: [N, 2] unit direction of allowed motion.  Returns (pts1, ok, resid).
+    """
+    dtype = img0.dtype
+    pyr0 = build_pyramid(img0, cfg.levels)
+    pyr1 = build_pyramid(img1, cfg.levels)
+
+    def level(img0l, img1l, pts, v, s):
+        gx0, gy0 = scharr_gradients(img0l)
+
+        def one(p0, d, v0):
+            coords = _patch_coords(p0, cfg.win, dtype)
+            T = bilinear_sample(img0l, coords)
+            Ix = bilinear_sample(gx0, coords)
+            Iy = bilinear_sample(gy0, coords)
+            # gradient projected on the direction: scalar system
+            Id = Ix * d[0] + Iy * d[1]
+            a = jnp.sum(Id * Id)
+            ok = a / (cfg.win * cfg.win) > cfg.min_eig
+
+            def body(_, v_):
+                I = bilinear_sample(img1l, coords + v_ * d)
+                r = I - T
+                g = jnp.sum(r * Id)
+                return v_ - g / jnp.where(a > 1e-12, a, 1.0)
+
+            v1 = jax.lax.fori_loop(0, cfg.iters, body, v0)
+            I = bilinear_sample(img1l, coords + v1 * d)
+            return v1, ok, jnp.mean(jnp.abs(I - T))
+
+        return jax.vmap(one)(pts, dirs, v)
+
+    scale = 2.0 ** (cfg.levels - 1)
+    v = jnp.zeros(pts0.shape[0], dtype)
+    ok_all = jnp.ones(pts0.shape[0], bool)
+    resid = v
+    for lvl in range(cfg.levels - 1, -1, -1):
+        s = 2.0**lvl
+        v, ok, resid = level(pyr0[lvl], pyr1[lvl], pts0 / s, v, s)
+        ok_all = ok_all & ok
+        if lvl > 0:
+            v = v * 2.0
+    pts1 = pts0 + v[:, None] * dirs
+    ok_all = ok_all & (resid < cfg.max_residual)
+    return pts1, ok_all, resid

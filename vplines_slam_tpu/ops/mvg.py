@@ -196,6 +196,43 @@ def pnp_refine(R0, t0, X_w, x, mask, iters=5):
     return so3_exp_matrix(params[:3]) @ R0, params[3:]
 
 
+def ransac_pnp(X_w, x, mask, key, n_hyp=32, threshold=8.0 / 460.0, min_pts=6):
+    """Fixed-trial batched PnP-RANSAC (cv::solvePnPRansac parity,
+    keyframe.cpp PnPRANSAC:200): n_hyp 6-point DLT hypotheses scored by
+    reprojection inliers, best refined by Gauss-Newton on all inliers.
+
+    Returns (R, t, inlier_mask, n_inliers) with x ~ project(R X_w + t).
+    """
+    N = X_w.shape[0]
+    dtype = x.dtype
+    order = jnp.argsort(~mask)
+    n_valid = jnp.maximum(jnp.sum(mask.astype(jnp.int32)), min_pts)
+    idx = jax.random.randint(key, (n_hyp, min_pts), 0, N)
+    idx = order[idx % n_valid]
+
+    def hyp(sample):
+        sm = jnp.zeros(N, bool).at[sample].set(True) & mask
+        R, t, ok = pnp_dlt(X_w, x, sm)
+        return R, t
+
+    Rs, ts = jax.vmap(hyp)(idx)
+
+    def score(R, t):
+        Xc = X_w @ R.T + t
+        good_z = Xc[:, 2] > 0.05
+        proj = Xc[:, :2] / jnp.where(good_z, Xc[:, 2], 1.0)[:, None]
+        err = jnp.linalg.norm(proj - x, axis=-1)
+        inl = (err < threshold) & mask & good_z
+        return jnp.sum(inl.astype(jnp.int32)), inl
+
+    counts, inls = jax.vmap(score)(Rs, ts)
+    best = jnp.argmax(counts)
+    R_b, t_b, inl_b = Rs[best], ts[best], inls[best]
+    R_f, t_f = pnp_refine(R_b, t_b, X_w, x, inl_b)
+    n_f, inl_f = score(R_f, t_f)
+    return R_f, t_f, inl_f, n_f
+
+
 def ransac_essential(x1, x2, mask, key, n_hyp=64, threshold=3.0 / 460.0):
     """Fixed-trial batched RANSAC for the essential matrix.
 

@@ -1,0 +1,166 @@
+"""Vanishing point detection: batched 3-orthogonal-VP RANSAC + sphere grid.
+
+Parity with the reference's ``feature_tracker/src/vanishing_point_detection.cpp``:
+- 2-line hypotheses, vp2 swept around the great circle normal to vp1
+  (getVPHypVia2Lines:90 — it = log(1-0.9999)/log(1-p) samples x 360 sweeps),
+- 1°-resolution Gaussian-sphere accumulator voted by all line-pair
+  intersections weighted sqrt(len_i·len_j)·(sin 2Δθ + 0.2) (getSphereGrids:180),
+- best hypothesis by accumulated grid mass (getBestVpsHyp:278),
+- line -> VP classification within an angle gate, else label 3
+  (lines2Vps:368, thAngle = 1°).
+
+The reference runs hypothesis generation and grid accumulation on two
+std::threads; here both are single batched einsum/scatter passes and the
+whole detector is one jitted program.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class VPConfig(NamedTuple):
+    n_pairs: int = 64  # ~ reference's `it` for noiseRatio=0.5 (≈110) rounded to batch
+    n_sweep: int = 90  # vp2 sweep positions (reference: 360 at 1°; 4° is ample)
+    grid_la: int = 90  # latitude bins (π/2 span, 1°)
+    grid_lo: int = 360  # longitude bins (2π span, 1°)
+    angle_tol: float = jnp.pi / 180.0  # classification gate (thAngle)
+    pair_angle_gate: float = jnp.pi / 3.0  # grid vote gate (angelTolerance)
+
+
+def _line_params(segs, f, cx, cy):
+    """Homogeneous line coefficients on the unit-focal image plane + midpoint,
+    length, angle.  segs: [L, 4] pixel endpoints."""
+    x1 = (segs[..., 0] - cx) / f
+    y1 = (segs[..., 1] - cy) / f
+    x2 = (segs[..., 2] - cx) / f
+    y2 = (segs[..., 3] - cy) / f
+    p1 = jnp.stack([x1, y1, jnp.ones_like(x1)], -1)
+    p2 = jnp.stack([x2, y2, jnp.ones_like(x2)], -1)
+    line = jnp.cross(p1, p2)  # homogeneous line through both endpoints
+    length = jnp.hypot(x2 - x1, y2 - y1)
+    angle = jnp.arctan2(y2 - y1, x2 - x1) % jnp.pi
+    return line, length, angle
+
+
+def _sphere_coords(v, cfg):
+    """Unit direction -> (lat, lon) grid indices (getSphereGrids binning)."""
+    v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+    # fold to upper hemisphere
+    v = v * jnp.where(v[..., 2:3] < 0, -1.0, 1.0)
+    lat = jnp.arccos(jnp.clip(v[..., 2], -1.0, 1.0))  # [0, π/2]
+    lon = jnp.arctan2(v[..., 1], v[..., 0]) % (2 * jnp.pi)
+    la = jnp.clip(
+        (lat / (jnp.pi / 2) * cfg.grid_la).astype(jnp.int32), 0, cfg.grid_la - 1
+    )
+    lo = jnp.clip(
+        (lon / (2 * jnp.pi) * cfg.grid_lo).astype(jnp.int32), 0, cfg.grid_lo - 1
+    )
+    return la, lo
+
+
+def detect_vps(segs, valid, f, cx, cy, key, cfg: VPConfig = VPConfig()):
+    """Detect 3 orthogonal vanishing points.
+
+    segs: [L, 4] pixel-space segments; valid: [L].
+    Returns (vps [3, 3] unit directions in camera frame, line_vp_id [L]
+    in {0,1,2,3} with 3 = unassigned, ok).
+    """
+    L = segs.shape[0]
+    dtype = segs.dtype
+    line, length, angle = _line_params(segs, f, cx, cy)
+    w_valid = valid.astype(dtype)
+
+    # ---- sphere grid from all line pairs ---------------------------------
+    inter = jnp.cross(line[:, None, :], line[None, :, :])  # [L, L, 3]
+    norm = jnp.linalg.norm(inter, axis=-1)
+    dang = jnp.abs(angle[:, None] - angle[None, :])
+    dang = jnp.minimum(jnp.pi - dang, dang)
+    wpair = (
+        jnp.sqrt(length[:, None] * length[None, :])
+        * (jnp.sin(2.0 * dang) + 0.2)
+        * w_valid[:, None]
+        * w_valid[None, :]
+        * (norm > 1e-9)
+        * (dang <= cfg.pair_angle_gate)
+    )
+    iu = jnp.triu_indices(L, k=1)
+    pts = inter[iu]
+    wts = wpair[iu]
+    la, lo = _sphere_coords(pts, cfg)
+    grid = jnp.zeros((cfg.grid_la, cfg.grid_lo), dtype).at[la, lo].add(wts)
+    # 3x3 smoothing like the reference's neighborhood sum in getBestVpsHyp
+    grid = (
+        grid
+        + jnp.roll(grid, 1, 0) + jnp.roll(grid, -1, 0)
+        + jnp.roll(grid, 1, 1) + jnp.roll(grid, -1, 1)
+    )
+
+    # ---- hypotheses: vp1 from random line pair, vp2 swept, vp3 = cross ----
+    k1, k2 = jax.random.split(key)
+    # sample valid-biased pairs
+    probs = w_valid + 1e-6
+    idx = jax.random.choice(k1, L, shape=(cfg.n_pairs, 2), p=probs / probs.sum())
+    l1 = line[idx[:, 0]]
+    l2 = line[idx[:, 1]]
+    vp1 = jnp.cross(l1, l2)
+    vp1 = vp1 / jnp.maximum(jnp.linalg.norm(vp1, axis=-1, keepdims=True), 1e-12)
+
+    # orthonormal basis of the plane ⊥ vp1
+    ref = jnp.where(
+        jnp.abs(vp1[:, 2:3]) < 0.95,
+        jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], dtype), vp1.shape),
+        jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], dtype), vp1.shape),
+    )
+    b1 = jnp.cross(vp1, ref)
+    b1 = b1 / jnp.linalg.norm(b1, axis=-1, keepdims=True)
+    b2 = jnp.cross(vp1, b1)
+    sweep = jnp.linspace(0.0, jnp.pi, cfg.n_sweep, endpoint=False).astype(dtype)
+    vp2 = (
+        b1[:, None, :] * jnp.cos(sweep)[None, :, None]
+        + b2[:, None, :] * jnp.sin(sweep)[None, :, None]
+    )  # [P, S, 3]
+    vp3 = jnp.cross(vp1[:, None, :], vp2)
+
+    def hyp_score(v1, v2, v3):
+        s = jnp.asarray(0.0, dtype)
+        for v in (v1, v2, v3):
+            la_, lo_ = _sphere_coords(v, cfg)
+            s = s + grid[la_, lo_]
+        return s
+
+    scores = jax.vmap(
+        lambda p: jax.vmap(lambda s: hyp_score(vp1[p], vp2[p, s], vp3[p, s]))(
+            jnp.arange(cfg.n_sweep)
+        )
+    )(jnp.arange(cfg.n_pairs))
+    flat = jnp.argmax(scores)
+    pi_, si_ = flat // cfg.n_sweep, flat % cfg.n_sweep
+    vps = jnp.stack([vp1[pi_], vp2[pi_, si_], vp3[pi_, si_]])
+    ok = jnp.max(scores) > 0
+
+    # ---- classify lines (lines2Vps) --------------------------------------
+    # a line passes through a VP iff its homogeneous coeffs ⊥ the VP direction
+    ln = line / jnp.maximum(jnp.linalg.norm(line, axis=-1, keepdims=True), 1e-12)
+    cosv = jnp.abs(ln @ vps.T)  # [L, 3]
+    ang = jnp.abs(jnp.pi / 2 - jnp.arccos(jnp.clip(cosv, -1.0, 1.0)))
+    best = jnp.argmin(ang, axis=1)
+    best_ang = jnp.min(ang, axis=1)
+    vp_id = jnp.where(valid & (best_ang < cfg.angle_tol), best, 3)
+    return vps, vp_id, ok
+
+
+def vps_temporal_consistency(vps, vps_prev, had_prev):
+    """Keep vp1/vp2 ordering consistent with the previous frame
+    (run_vanishing_point_detection's swap of vp1/vp2)."""
+    d_keep = jnp.abs(jnp.sum(vps[0] * vps_prev[0])) + jnp.abs(
+        jnp.sum(vps[1] * vps_prev[1])
+    )
+    d_swap = jnp.abs(jnp.sum(vps[0] * vps_prev[1])) + jnp.abs(
+        jnp.sum(vps[1] * vps_prev[0])
+    )
+    swapped = jnp.stack([vps[1], vps[0], vps[2]])
+    return jnp.where(had_prev & (d_swap > d_keep), swapped, vps)
