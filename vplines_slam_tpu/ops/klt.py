@@ -40,6 +40,31 @@ def _patch_coords(center, win, dtype):
     )  # [win, win, 2] (x, y)
 
 
+def extract_patch(img, center, win):
+    """win x win patch at float center via dynamic_slice + fractional blend.
+
+    TPU-friendly replacement for per-pixel gathers: one contiguous
+    (win+1)² slice, then a 4-tap blend of shifted views (pure VPU math).
+    ~20x cheaper than elementwise bilinear_sample gathers on TPU.
+    Positions are clamped at image borders (callers gate validity).
+    """
+    r = (win - 1) // 2
+    x0 = jnp.floor(center[0]) - r
+    y0 = jnp.floor(center[1]) - r
+    fx = (center[0] - jnp.floor(center[0])).astype(img.dtype)
+    fy = (center[1] - jnp.floor(center[1])).astype(img.dtype)
+    H, W = img.shape
+    xi = jnp.clip(x0.astype(jnp.int32), 0, W - win - 1)
+    yi = jnp.clip(y0.astype(jnp.int32), 0, H - win - 1)
+    big = jax.lax.dynamic_slice(img, (yi, xi), (win + 1, win + 1))
+    return (
+        big[:-1, :-1] * (1 - fx) * (1 - fy)
+        + big[:-1, 1:] * fx * (1 - fy)
+        + big[1:, :-1] * (1 - fx) * fy
+        + big[1:, 1:] * fx * fy
+    )
+
+
 def _track_level(img0, img1, pts0, guess, cfg: KLTConfig, dtype):
     """One pyramid level of inverse-compositional LK for all N features.
 
@@ -47,12 +72,19 @@ def _track_level(img0, img1, pts0, guess, cfg: KLTConfig, dtype):
     Returns (flow, ok, mean_residual).
     """
     gx0, gy0 = scharr_gradients(img0)
+    # pad so patch slices never clamp (coarse levels can be smaller than the
+    # window); zero padding matches the old gather's out-of-bounds behaviour
+    P = cfg.win
+    img0p = jnp.pad(img0, P)
+    img1p = jnp.pad(img1, P)
+    gx0p = jnp.pad(gx0, P)
+    gy0p = jnp.pad(gy0, P)
+    off = jnp.asarray([P, P], dtype)
 
     def one(p0, d0):
-        coords = _patch_coords(p0, cfg.win, dtype)
-        T = bilinear_sample(img0, coords)
-        Ix = bilinear_sample(gx0, coords)
-        Iy = bilinear_sample(gy0, coords)
+        T = extract_patch(img0p, p0 + off, cfg.win)
+        Ix = extract_patch(gx0p, p0 + off, cfg.win)
+        Iy = extract_patch(gy0p, p0 + off, cfg.win)
         # 2x2 spatial gradient matrix (constant over iterations)
         a = jnp.sum(Ix * Ix)
         b = jnp.sum(Ix * Iy)
@@ -67,7 +99,7 @@ def _track_level(img0, img1, pts0, guess, cfg: KLTConfig, dtype):
         )
 
         def body(_, d):
-            I = bilinear_sample(img1, coords + d)
+            I = extract_patch(img1p, p0 + d + off, cfg.win)
             if cfg.illum_adapt:
                 # gain/bias fit: I' = alpha*I + beta matched to template stats
                 mI, mT = jnp.mean(I), jnp.mean(T)
@@ -80,7 +112,7 @@ def _track_level(img0, img1, pts0, guess, cfg: KLTConfig, dtype):
             return d - step
 
         d = jax.lax.fori_loop(0, cfg.iters, body, d0)
-        I = bilinear_sample(img1, coords + d)
+        I = extract_patch(img1p, p0 + d + off, cfg.win)
         if cfg.illum_adapt:
             mI, mT = jnp.mean(I), jnp.mean(T)
             sI = jnp.std(I) + 1e-6
@@ -142,25 +174,30 @@ def track_1d(img0, img1, pts0, dirs, cfg: KLTConfig = KLTConfig(win=15, iters=8)
 
     def level(img0l, img1l, pts, v, s):
         gx0, gy0 = scharr_gradients(img0l)
+        P = cfg.win
+        img0p = jnp.pad(img0l, P)
+        img1p = jnp.pad(img1l, P)
+        gx0p = jnp.pad(gx0, P)
+        gy0p = jnp.pad(gy0, P)
+        off = jnp.asarray([P, P], dtype)
 
         def one(p0, d, v0):
-            coords = _patch_coords(p0, cfg.win, dtype)
-            T = bilinear_sample(img0l, coords)
-            Ix = bilinear_sample(gx0, coords)
-            Iy = bilinear_sample(gy0, coords)
+            T = extract_patch(img0p, p0 + off, cfg.win)
+            Ix = extract_patch(gx0p, p0 + off, cfg.win)
+            Iy = extract_patch(gy0p, p0 + off, cfg.win)
             # gradient projected on the direction: scalar system
             Id = Ix * d[0] + Iy * d[1]
             a = jnp.sum(Id * Id)
             ok = a / (cfg.win * cfg.win) > cfg.min_eig
 
             def body(_, v_):
-                I = bilinear_sample(img1l, coords + v_ * d)
+                I = extract_patch(img1p, p0 + v_ * d + off, cfg.win)
                 r = I - T
                 g = jnp.sum(r * Id)
                 return v_ - g / jnp.where(a > 1e-12, a, 1.0)
 
             v1 = jax.lax.fori_loop(0, cfg.iters, body, v0)
-            I = bilinear_sample(img1l, coords + v1 * d)
+            I = extract_patch(img1p, p0 + v1 * d + off, cfg.win)
             return v1, ok, jnp.mean(jnp.abs(I - T))
 
         return jax.vmap(one)(pts, dirs, v)
