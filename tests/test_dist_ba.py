@@ -76,16 +76,22 @@ def test_dist_ba_matches_truth_and_single_device():
     step = dist_ba.make_dist_ba_step(mesh, CFG, params, num_iters=4)
     data_sh = dist_ba.shard_tracks(data, mesh)
     state1, invd1, cost = step(state0, data_sh)
+    assert float(cost) < 1e-3
 
-    # pulled back toward truth
-    err0 = float(jnp.linalg.norm(state0.p - state_true.p))
-    err1 = float(jnp.linalg.norm(state1.p - state_true.p))
-    assert err1 < err0 * 0.2, (err0, err1)
+    # pulled back toward truth modulo the free global-translation gauge
+    # (no prior in this standalone problem)
+    def gauge_err(p):
+        d = p - state_true.p
+        return float(jnp.linalg.norm(d - jnp.mean(d, axis=0)))
+
+    err0 = gauge_err(state0.p)
+    err1 = gauge_err(state1.p)
+    assert err1 < err0 * 0.1, (err0, err1)
 
     # single-device reference: same step on a 1-device mesh
     mesh1 = Mesh(np.asarray(jax.devices()[:1]), ("f",))
     step1 = dist_ba.make_dist_ba_step(mesh1, CFG, params, num_iters=4)
     state1r, invd1r, cost_r = step1(state0, dist_ba.shard_tracks(data, mesh1))
-    np.testing.assert_allclose(state1.p, state1r.p, atol=1e-8)
-    np.testing.assert_allclose(invd1, invd1r, atol=1e-8)
-    np.testing.assert_allclose(float(cost), float(cost_r), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(state1.p), np.asarray(state1r.p), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(invd1), np.asarray(invd1r), atol=1e-8)
+    np.testing.assert_allclose(float(cost), float(cost_r), rtol=1e-8)

@@ -78,11 +78,33 @@ def detect_lines(img, cfg: LineDetectConfig = LineDetectConfig()):
         & (mag >= mag_p + cfg.anchor_thresh)
         & (mag >= mag_m + cfg.anchor_thresh)
     )
-    score = jnp.where(is_anchor, mag, 0.0).reshape(-1)
-    top_score, top_idx = jax.lax.top_k(score, cfg.max_anchors)
-    ax = (top_idx % W).astype(dtype)
-    ay = (top_idx // W).astype(dtype)
+    # spatially-stratified anchor selection: best anchor per grid cell, then
+    # top-k over cells.  Pure top-k by magnitude degenerates on real images
+    # (speckle/corner pixels out-gradient line edges everywhere); EDLine
+    # avoids this by scanning ALL anchors — stratification is the batched
+    # equivalent with bounded compute.
+    score_im = jnp.where(is_anchor, mag, 0.0)
+    cell = 16
+    ch, cw = -(-H // cell), -(-W // cell)
+    pad = jnp.zeros((ch * cell, cw * cell), dtype).at[:H, :W].set(score_im)
+    cells = pad.reshape(ch, cell, cw, cell).transpose(0, 2, 1, 3).reshape(
+        ch, cw, cell * cell
+    )
+    best_in = jnp.argmax(cells, axis=-1)
+    best_val = jnp.take_along_axis(cells, best_in[..., None], axis=-1)[..., 0]
+    by = jnp.arange(ch)[:, None] * cell + best_in // cell
+    bx = jnp.arange(cw)[None, :] * cell + best_in % cell
+    flat_val = best_val.reshape(-1)
+    k_cells = min(cfg.max_anchors, flat_val.shape[0])
+    top_score, top_cell = jax.lax.top_k(flat_val, k_cells)
+    ax = bx.reshape(-1)[top_cell].astype(dtype)
+    ay = by.reshape(-1)[top_cell].astype(dtype)
     a_ok = top_score > 0.0
+    if k_cells < cfg.max_anchors:
+        padn = cfg.max_anchors - k_cells
+        ax = jnp.concatenate([ax, jnp.zeros(padn, dtype)])
+        ay = jnp.concatenate([ay, jnp.zeros(padn, dtype)])
+        a_ok = jnp.concatenate([a_ok, jnp.zeros(padn, bool)])
 
     # ---- parallel growth along the level-line direction -------------------
     def grow(px, py, sgn):

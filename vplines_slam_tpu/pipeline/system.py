@@ -1,0 +1,209 @@
+"""The full SLAM system: front-ends -> VIO -> loop closure -> global fusion.
+
+The single-process, device-resident equivalent of the reference's 6-node ROS
+graph (SURVEY §1): images and IMU go in, VIO odometry + drift-corrected
+poses come out.  Stages communicate through device arrays instead of
+serialized PointCloud topics; the host only routes.
+
+  feature_tracker node    -> models.feature_tracker.FeatureTrackerFrontend
+  linefeature_tracker     -> models.line_tracker.LineTrackerFrontend
+  vins_estimator          -> estimator.vio.VioEngine
+  pose_graph              -> models.pose_graph (KeyframeDB + 4-DoF PGO)
+  global_fusion           -> models.global_fusion
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..estimator.vio import VioEngine
+from ..estimator.window import WindowConfig
+from ..models import camera as cam_mod
+from ..models import global_fusion as gf_mod
+from ..models import imu as imu_mod
+from ..models import pose_graph as pg_mod
+from ..models.feature_tracker import FeatureTrackerFrontend, TrackerConfig
+from ..models.line_tracker import LineTrackerConfig, LineTrackerFrontend
+from ..utils.geometry import quat_conj, quat_mul, quat_rotate
+
+
+class SystemOutput(NamedTuple):
+    t: float
+    p_vio: np.ndarray
+    q_vio: np.ndarray
+    p_corrected: np.ndarray  # after pose-graph drift correction
+    q_corrected: np.ndarray
+    is_keyframe: bool
+    loop_closed: bool
+
+
+class SlamSystem:
+    """Monocular visual-inertial SLAM with optional lines, loop closure and
+    GNSS fusion."""
+
+    def __init__(
+        self,
+        cam: cam_mod.CameraModel,
+        window_cfg: WindowConfig = WindowConfig(),
+        tracker_cfg: TrackerConfig = TrackerConfig(),
+        line_cfg: Optional[LineTrackerConfig] = None,
+        pg_cfg: pg_mod.PoseGraphConfig = pg_mod.PoseGraphConfig(),
+        fusion_cfg: Optional[gf_mod.FusionConfig] = None,
+        imu_params: Optional[imu_mod.ImuParams] = None,
+        q_ic=None,
+        p_ic=None,
+        use_loop_closure: bool = True,
+        dtype=jnp.float32,
+    ):
+        self.cam = cam
+        self.dtype = dtype
+        self.frontend = FeatureTrackerFrontend(cam, tracker_cfg, dtype=dtype)
+        self.line_frontend = (
+            LineTrackerFrontend(cam, line_cfg, dtype=dtype) if line_cfg else None
+        )
+        self.vio = VioEngine(
+            window_cfg,
+            imu_params or imu_mod.default_params(dtype),
+            q_ic=q_ic,
+            p_ic=p_ic,
+            dtype=dtype,
+            use_lines=line_cfg is not None,
+        )
+        self.use_loop = use_loop_closure
+        self.pg_cfg = pg_cfg
+        self.db = pg_mod.empty_db(pg_cfg, dtype)
+        self.R_drift = np.eye(3)
+        self.t_drift = np.zeros(3)
+        self._pending_loops = 0
+        self.fusion_cfg = fusion_cfg
+        self.fusion = gf_mod.empty_fusion(fusion_cfg, dtype) if fusion_cfg else None
+        self._gps_origin = None
+        self._key = jax.random.PRNGKey(1)
+
+    # ------------------------------------------------------------------ API
+    def add_imu(self, t, acc, gyr):
+        self.vio.add_imu(t, acc, gyr)
+
+    def add_gnss(self, t, lat, lon, alt, accuracy=1.0):
+        if self.fusion is None:
+            return
+        if self._gps_origin is None:
+            self._gps_origin = (lat, lon, alt)
+        enu = gf_mod.geodetic_to_enu(lat, lon, alt, *self._gps_origin)
+        self.fusion = jax.jit(gf_mod.input_gps)(self.fusion, enu, jnp.asarray(accuracy, self.dtype))
+        self.fusion, _ = jax.jit(
+            lambda s: gf_mod.optimize(s, self.fusion_cfg)
+        )(self.fusion)
+
+    def add_image(self, t, img) -> Optional[SystemOutput]:
+        """Process one grayscale frame [H, W] in [0,1]."""
+        img = jnp.asarray(img, self.dtype)
+        feats = self.frontend.process(t, img)
+        ln_kwargs = {}
+        if self.line_frontend is not None:
+            lines = self.line_frontend.process(t, img)
+            ln_kwargs = dict(
+                ln_ids=lines.ids, ln_obs=lines.endpoints,
+                ln_vps=lines.vp_dirs, ln_vp_valid=lines.vp_valid,
+            )
+        out = self.vio.add_frame(t, feats.ids, feats.rays, **ln_kwargs)
+        if out is None or not self.vio.initialized:
+            return None
+
+        loop_closed = False
+        if self.use_loop and bool(out.is_keyframe):
+            loop_closed = self._process_keyframe(t, img, out, feats)
+
+        p_vio = np.asarray(out.p)
+        q_vio = np.asarray(out.q)
+        p_corr = self.R_drift @ p_vio + self.t_drift
+        from ..utils.geometry import rot_to_quat
+
+        q_corr = np.asarray(
+            quat_mul(rot_to_quat(jnp.asarray(self.R_drift, self.dtype)), out.q)
+        )
+        if self.fusion is not None:
+            self.fusion = jax.jit(
+                lambda s, p, q: gf_mod.input_odom(s, self.fusion_cfg, p, q)
+            )(self.fusion, jnp.asarray(p_corr, self.dtype), jnp.asarray(q_corr, self.dtype))
+        return SystemOutput(
+            t=t, p_vio=p_vio, q_vio=q_vio, p_corrected=p_corr,
+            q_corrected=q_corr, is_keyframe=bool(out.is_keyframe),
+            loop_closed=loop_closed,
+        )
+
+    # ------------------------------------------------------- loop closure
+    def _process_keyframe(self, t, img, out, feats) -> bool:
+        cfg = self.pg_cfg
+        lift = lambda xy: cam_mod.lift(self.cam, xy)
+        # window points: tracked features with solved depths -> world points
+        w3d, wxy, w_valid = self._window_points()
+        fb = pg_mod.extract_keyframe_features(
+            img, lift, cfg, window_xy=(wxy, w_valid)
+        )
+        k = int(self.db.count)
+        sig = fb["sig"]
+        cand_i, cand_s = pg_mod.retrieve_candidates(self.db, cfg, sig)
+        self.db = pg_mod.add_keyframe(
+            self.db, cfg, jnp.asarray(out.p), jnp.asarray(out.q), sig,
+            fb["desc"], fb["kp_norm"], fb["kp_valid"], fb["wdesc"], w3d, w_valid,
+        )
+        closed = False
+        if k > cfg.skip_recent and float(cand_s[0]) > cfg.min_score:
+            self._key, key = jax.random.split(self._key)
+            ok, rel_t, rel_yaw, n_inl = pg_mod.verify_loop(
+                self.db, cfg, int(cand_i[0]), fb["wdesc"], w3d, w_valid,
+                jnp.asarray(out.p), jnp.asarray(out.q), key,
+            )
+            if bool(ok):
+                self.db = pg_mod.record_loop(
+                    self.db, k, int(cand_i[0]), rel_t, rel_yaw
+                )
+                self.db, _ = jax.jit(
+                    lambda db: pg_mod.optimize_4dof(db, cfg)
+                )(self.db)
+                R_d, t_d = pg_mod.drift_correction(self.db, cfg)
+                self.R_drift = np.asarray(R_d)
+                self.t_drift = np.asarray(t_d)
+                closed = True
+        return closed
+
+    def _window_points(self):
+        """World 3D points + pixel coords of currently solved tracks (the
+        keyframe's PnP anchors — pubKeyframe parity)."""
+        vio = self.vio
+        data = vio.data
+        state = vio.state
+        cfg = vio.cfg
+        Wp = self.pg_cfg.n_window_pts
+
+        q_wc = jax.vmap(lambda q: quat_mul(q, state.q_ic))(state.q)
+        p_wc = state.p + jax.vmap(lambda q: quat_rotate(q, state.p_ic))(state.q)
+
+        def one(slot):
+            i = data.pt_start[slot]
+            ray = data.pt_obs[slot, i]
+            z = 1.0 / jnp.clip(data.pt_inv_depth[slot], 1e-4, 1e4)
+            Xw = quat_rotate(q_wc[i], ray * z) + p_wc[i]
+            # observation in the newest frame
+            j = cfg.nf - 2
+            seen = data.pt_mask[slot, j] & data.pt_solved[slot] & (data.pt_id[slot] >= 0)
+            uv_n = data.pt_obs[slot, j, 0:2]
+            return Xw, uv_n, seen
+
+        Xw, uvn, seen = jax.vmap(one)(jnp.arange(cfg.max_points))
+        # pixel coords for BRIEF extraction
+        from ..models.camera import project
+
+        Xc = jax.vmap(
+            lambda x: quat_rotate(quat_conj(q_wc[cfg.nf - 2]), x - p_wc[cfg.nf - 2])
+        )(Xw)
+        uv_px, vis = project(self.cam, Xc)
+        seen = seen & vis
+        # take the first Wp
+        idx = jnp.argsort(~seen)[:Wp]
+        return Xw[idx], uv_px[idx], seen[idx]
