@@ -95,3 +95,18 @@ def test_project_jits_and_batches(rng):
     f = jax.jit(lambda X: cam_mod.project(cam, X)[0])
     uv = f(X)
     assert uv.shape == (1024, 2)
+
+
+def test_scaramuzza_roundtrip(rng):
+    # typical omnidirectional polynomial (f(rho) decreasing from a0<0 style
+    # camodocal: a0 negative means z flips; use a fisheye-like positive set)
+    cam = cam_mod.scaramuzza(
+        a0=250.0, a2=-0.0012, a3=1.2e-6, a4=-5e-10, cx=400.0, cy=300.0,
+        width=800, height=600,
+    )
+    # forward-looking polynomial (a0>0 convention; flip sign if calibrated a0<0)
+    uv = jnp.asarray(rng.uniform([150, 120], [650, 480], size=(40, 2)))
+    rays = cam_mod.lift(cam, uv)
+    # reproject the lifted ray: must land on the original pixel
+    uv2, ok = cam_mod.project(cam, rays)
+    np.testing.assert_allclose(uv2, uv, atol=2e-4)

@@ -46,12 +46,14 @@ def render_frame(q_wb, p_wb, X, brightness, bg):
 def test_images_to_trajectory():
     rng = np.random.default_rng(0)
     traj = syn.figure8_trajectory(radius=1.2, ypr_amp=(12.0, 5.0, 4.0))
-    n_pts = 180
+    n_pts = 600
     X = syn.scatter_landmarks(n_pts, seed=4, box=((-4, 4), (-4, 4), (-1, 2.5)))
     brightness = jnp.asarray(rng.uniform(0.35, 0.9, n_pts))
     from tests.test_frontend_ops import smooth_texture
 
-    bg = smooth_texture(rng, H=H, W=W) * 0.25
+    # background must be negligible: it is screen-fixed, not world content —
+    # any trackable texture in it would (correctly) be culled by F-RANSAC
+    bg = smooth_texture(rng, H=H, W=W) * 0.03
 
     duration, frame_hz, imu_hz = 3.2, 10, 200
     frame_times = np.arange(0.0, duration, 1.0 / frame_hz)
@@ -59,9 +61,10 @@ def test_images_to_trajectory():
     accs, gyrs = syn.imu_samples(traj, jnp.asarray(imu_times))
     accs, gyrs = np.asarray(accs), np.asarray(gyrs)
 
-    cfg = WindowConfig(max_points=64, max_lines=4, max_imu=32)
+    cfg = WindowConfig(max_points=96, max_lines=4, max_imu=32,
+                       init_min_corres=12)
     fe = FeatureTrackerFrontend(
-        CAM, TrackerConfig(max_features=64, min_dist=18, equalize=False),
+        CAM, TrackerConfig(max_features=96, min_dist=12, equalize=False, quality=0.003),
         dtype=jnp.float64,
     )
     eng = VioEngine(cfg, imu_mod.default_params(), q_ic=Q_IC, p_ic=P_IC)

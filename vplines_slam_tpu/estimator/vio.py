@@ -156,7 +156,10 @@ class VioEngine:
         def try_init(state, data, key):
             obs = data.pt_obs[:, :, 0:2]
             mask = data.pt_mask & (data.pt_id >= 0)[:, None]
-            l, found = init_mod.choose_reference_frame(obs, mask)
+            l, found = init_mod.choose_reference_frame(
+                obs, mask, min_parallax=cfg.init_min_parallax,
+                min_corres=cfg.init_min_corres,
+            )
             # preintegrate all intervals at zero bias
             z3 = jnp.zeros(3, obs.dtype)
             pre = jax.vmap(

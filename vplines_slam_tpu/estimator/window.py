@@ -66,6 +66,8 @@ class WindowConfig(NamedTuple):
     min_parallax: float = 10.0 / 460.0  # keyframe threshold (parameters.cpp MIN_PARALLAX)
     ba_iters: int = 8  # NUM_ITERATIONS
     line_min_obs: int = 3  # LINE_MIN_OBS=5 in reference; relaxed for short tests
+    init_min_corres: int = 20  # relativePose correspondence gate
+    init_min_parallax: float = 30.0 / 460.0  # relativePose parallax gate
 
     @property
     def nf(self):

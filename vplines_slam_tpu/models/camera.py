@@ -21,6 +21,7 @@ import jax.numpy as jnp
 PINHOLE = 0
 EQUIDISTANT = 1  # Kannala-Brandt, camodocal "KANNALA_BRANDT"
 MEI = 2  # unified catadioptric, camodocal "MEI"
+SCARAMUZZA = 3  # omnidirectional polynomial, camodocal "SCARAMUZZA"
 
 _LIFT_ITERS = 8
 
@@ -32,6 +33,8 @@ class CameraModel(NamedTuple):
       PINHOLE:     [k1, k2, p1, p2, 0]
       EQUIDISTANT: [k2, k3, k4, k5, 0]   (Kannala-Brandt θ-polynomial)
       MEI:         [xi, k1, k2, p1, p2]
+      SCARAMUZZA:  [a0, a2, a3, a4, 0]   (forward ρ-poly z = a0 + a2ρ² + a3ρ³
+                   + a4ρ⁴; fx/fy/cx/cy act as the affine [c d; e 1] + center)
     """
 
     kind: int
@@ -65,6 +68,22 @@ def equidistant(fx, fy, cx, cy, k2=0.0, k3=0.0, k4=0.0, k5=0.0, width=752, heigh
         jnp.asarray(cx),
         jnp.asarray(cy),
         jnp.asarray([k2, k3, k4, k5, 0.0]),
+        width,
+        height,
+    )
+
+
+def scaramuzza(a0, a2, a3, a4, cx, cy, width=752, height=480):
+    """Omnidirectional polynomial model (ScaramuzzaCamera.cc parity): the
+    back-projection ray is [u, v, f(ρ)] with f(ρ)=a0+a2ρ²+a3ρ³+a4ρ⁴ (a1=0
+    by construction).  Affine skew is taken as identity (camodocal default)."""
+    return CameraModel(
+        SCARAMUZZA,
+        jnp.asarray(1.0),
+        jnp.asarray(1.0),
+        jnp.asarray(cx),
+        jnp.asarray(cy),
+        jnp.asarray([a0, a2, a3, a4, 0.0]),
         width,
         height,
     )
@@ -178,6 +197,23 @@ def project(cam: CameraModel, X):
         u = cam.fx * xyd[..., 0] + cam.cx
         v = cam.fy * xyd[..., 1] + cam.cy
         return jnp.stack([u, v], axis=-1), zs > 0
+    if cam.kind == SCARAMUZZA:
+        # find ρ s.t. the ray [ρ·d̂, f(ρ)] aligns with X: Newton on
+        # g(ρ) = f(ρ)·r - z·ρ  where r = ||X_xy||, z = X_z
+        a0, a2, a3, a4 = cam.dist[0], cam.dist[1], cam.dist[2], cam.dist[3]
+        r = jnp.linalg.norm(X[..., 0:2], axis=-1)
+        z = X[..., 2]
+        rho = jnp.full_like(r, 100.0)
+        for _ in range(_LIFT_ITERS):
+            f = a0 + rho * rho * (a2 + rho * (a3 + rho * a4))
+            df = rho * (2.0 * a2 + rho * (3.0 * a3 + rho * 4.0 * a4))
+            g = f * r - z * rho
+            dg = df * r - z
+            rho = jnp.clip(rho - g / jnp.where(jnp.abs(dg) < 1e-12, 1e-12, dg), 0.0, 2000.0)
+        scale = rho / jnp.maximum(r, 1e-12)
+        u = X[..., 0] * scale + cam.cx
+        v = X[..., 1] * scale + cam.cy
+        return jnp.stack([u, v], axis=-1), jnp.ones_like(z, bool)
     raise ValueError(f"unknown camera kind {cam.kind}")
 
 
@@ -207,6 +243,15 @@ def lift(cam: CameraModel, uv):
         lam = zs[..., None]
         z = lam[..., 0] - xi
         xy = xy * lam / jnp.maximum(z, 1e-12)[..., None]
+    elif cam.kind == SCARAMUZZA:
+        # direct back-projection: ray = [u', v', f(ρ)] normalized to z=1
+        a0, a2, a3, a4 = cam.dist[0], cam.dist[1], cam.dist[2], cam.dist[3]
+        up = uv[..., 0] - cam.cx
+        vp = uv[..., 1] - cam.cy
+        rho = jnp.sqrt(up * up + vp * vp)
+        f = a0 + rho * rho * (a2 + rho * (a3 + rho * a4))
+        fz = jnp.where(jnp.abs(f) < 1e-9, 1e-9, f)
+        xy = jnp.stack([up / fz, vp / fz], axis=-1)
     else:
         raise ValueError(f"unknown camera kind {cam.kind}")
     ones = jnp.ones_like(xy[..., :1])

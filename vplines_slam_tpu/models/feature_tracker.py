@@ -30,6 +30,7 @@ class TrackerConfig(NamedTuple):
     f_threshold: float = 1.0  # px at 460 virtual focal (F_threshold)
     equalize: bool = True
     ransac_hyps: int = 32
+    quality: float = 0.01  # GFTT quality level (relative to max response)
     klt: klt_mod.KLTConfig = klt_mod.KLTConfig()
 
 
@@ -96,7 +97,7 @@ def step(state: TrackerState, img, cam: cam_mod.CameraModel, cfg: TrackerConfig,
     # ---- survivor compaction + top-up detection ---------------------------
     xy_cur = jnp.where(ok[:, None], pts1, state.xy)
     new_xy, new_score, new_valid = corners_mod.detect(
-        img, max_corners=M, min_dist=cfg.min_dist,
+        img, max_corners=M, min_dist=cfg.min_dist, quality=cfg.quality,
         existing_xy=xy_cur, existing_mask=ok,
     )
 

@@ -108,7 +108,8 @@ def _track_level(img0, img1, pts0, guess, cfg: KLTConfig, dtype):
                 I = (I - mI) * (sT / sI) + mT
             r = I - T
             g = jnp.stack([jnp.sum(r * Ix), jnp.sum(r * Iy)])
-            step = inv @ g
+            # ill-conditioned patches keep their flow instead of exploding
+            step = jnp.where(ok, inv @ g, jnp.zeros(2, dtype))
             return d - step
 
         d = jax.lax.fori_loop(0, cfg.iters, body, d0)
@@ -145,7 +146,10 @@ def track(img0, img1, pts0, cfg: KLTConfig = KLTConfig(), init_flow=None):
         flow, ok, resid = _track_level(
             pyr0[lvl], pyr1[lvl], pts0 / s, flow, cfg, dtype
         )
-        ok_all = ok_all & ok
+        # only the finest level's conditioning gates the track: small blobs
+        # vanish at coarse levels (no update there), like cv::calcOpticalFlowPyrLK
+        if lvl == 0:
+            ok_all = ok_all & ok
         if lvl > 0:
             flow = flow * 2.0
     pts1 = pts0 + flow
