@@ -29,7 +29,10 @@ def main():
 
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
-    if not args.f32:
+    # On CPU, x64 lets the solver cores promote their small dense systems to
+    # f64 (conditioning).  On TPU, x64 must stay OFF: TPU XLA implements
+    # LU/eigh only for f32, and any stray f64 op aborts the remote compiler.
+    if args.platform == "cpu":
         jax.config.update("jax_enable_x64", True)
 
     import jax.numpy as jnp

@@ -134,7 +134,7 @@ def set_imu_interval(data: TrackData, k, dts, accs, gyrs, mask,
         imu_dt=data.imu_dt.at[k].set(dts),
         imu_acc=data.imu_acc.at[k].set(accs),
         imu_gyr=data.imu_gyr.at[k].set(gyrs),
-        imu_mask=data.imu_mask.at[k].set(mask),
+        imu_mask=data.imu_mask.at[k].set(mask.astype(bool)),
         imu_valid=data.imu_valid.at[k].set(True),
     )
     if params is not None:
@@ -345,8 +345,12 @@ def slide_window_old(
     nd = cfg.nd
     perm = jnp.full((nd,), -1, jnp.int32)
     for k in range(nf - 1):
-        perm = perm.at[15 * k : 15 * (k + 1)].set(jnp.arange(15 * (k + 1), 15 * (k + 2)))
-    perm = perm.at[15 * nf : nd].set(jnp.arange(15 * nf, nd))  # extrinsic
+        perm = perm.at[15 * k : 15 * (k + 1)].set(
+            jnp.arange(15 * (k + 1), 15 * (k + 2), dtype=jnp.int32)
+        )
+    perm = perm.at[15 * nf : nd].set(
+        jnp.arange(15 * nf, nd, dtype=jnp.int32)
+    )  # extrinsic
     prior_shifted = marg_mod.shift_prior(new_prior, perm)
 
     prior_state_new = state_new  # prior re-linearized at the post-BA estimate

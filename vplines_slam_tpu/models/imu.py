@@ -222,12 +222,26 @@ def sqrt_information(pre: Preintegration):
     """sqrt info = chol(cov)^-1 via Cholesky, matching imu_factor.h:37-39's
     LLT-based square-root whitening."""
     dtype = pre.covariance.dtype
+    out_dtype = dtype
+    if dtype == jnp.float32 and jax.config.jax_enable_x64 and (
+        jax.default_backend() == "cpu"
+    ):
+        # covariance entries span ~1e-14..1e-2 — whiten in f64 when possible
+        dtype = jnp.float64
+    cov0 = pre.covariance.astype(dtype)
     eps = jnp.asarray(1e-9 if dtype == jnp.float64 else 1e-5, dtype)
-    scale = jnp.maximum(jnp.diag(pre.covariance), jnp.asarray(1e-30, dtype))
-    cov = pre.covariance + jnp.diag(scale) * eps
+    scale = jnp.maximum(jnp.diag(cov0), jnp.asarray(1e-30, dtype))
+    if dtype == jnp.float32:
+        # cap the whitening dynamic range: without f64, a covariance spread of
+        # 1e-14..1e-2 would give S entries ~1e7 and a normal-equation
+        # condition number far beyond f32.  Flooring at 1e-7·max(diag) bounds
+        # κ(S) ≈ 3e3 at a slight loss of bias-constraint sharpness.
+        scale = jnp.maximum(scale, 1e-2 * jnp.max(scale))
+    cov = cov0 + jnp.diag(scale) * eps
     L = jnp.linalg.cholesky(cov)
     # cov = L Lᵀ  =>  S = L⁻¹ satisfies S cov Sᵀ = I (residual whitening)
-    return jax.scipy.linalg.solve_triangular(L, jnp.eye(15, dtype=dtype), lower=True)
+    S = jax.scipy.linalg.solve_triangular(L, jnp.eye(15, dtype=dtype), lower=True)
+    return S.astype(out_dtype)
 
 
 def midpoint_propagate(p, q, v, ba, bg, acc0, gyr0, acc1, gyr1, dt, g):

@@ -29,6 +29,7 @@ class KLTConfig(NamedTuple):
     min_eig: float = 1e-4  # spatial-gradient conditioning threshold
     max_residual: float = 0.08  # mean abs photometric residual gate ([0,1] images)
     illum_adapt: bool = False  # per-patch gain/bias (line-matcher KLT mode)
+    use_pallas: bool = False  # TPU kernel path (ops/klt_pallas); no illum_adapt
 
 
 def _patch_coords(center, win, dtype):
@@ -143,9 +144,22 @@ def track(img0, img1, pts0, cfg: KLTConfig = KLTConfig(), init_flow=None):
     resid = jnp.zeros(N, dtype)
     for lvl in range(cfg.levels - 1, -1, -1):
         s = 2.0**lvl
-        flow, ok, resid = _track_level(
-            pyr0[lvl], pyr1[lvl], pts0 / s, flow, cfg, dtype
-        )
+        if cfg.use_pallas:
+            from .image import scharr_gradients
+            from .klt_pallas import track_level_pallas
+
+            gx, gy = scharr_gradients(pyr0[lvl])
+            flow, ok, resid = track_level_pallas(
+                pyr0[lvl], pyr1[lvl], gx, gy,
+                (pts0 / s).astype(jnp.float32), flow.astype(jnp.float32),
+                win=cfg.win, iters=cfg.iters, min_eig=cfg.min_eig,
+            )
+            flow = flow.astype(dtype)
+            resid = resid.astype(dtype)
+        else:
+            flow, ok, resid = _track_level(
+                pyr0[lvl], pyr1[lvl], pts0 / s, flow, cfg, dtype
+            )
         # only the finest level's conditioning gates the track: small blobs
         # vanish at coarse levels (no update there), like cv::calcOpticalFlowPyrLK
         if lvl == 0:

@@ -64,6 +64,25 @@ def normal_equations(J, r):
     return H, g
 
 
+def _solve_dtype(dtype):
+    """f32 inputs solve their (small) normal equations in f64 when possible:
+    JᵀJ squares the condition number and float32 loses the low-observability
+    directions (bias/velocity) over long runs.
+
+    CPU only — TPU XLA implements LU/eigh for F32 only ("Only F32 and C64
+    types are implemented in LuDecomposition"); on TPU the f32 path relies on
+    the whitening-range cap in imu.sqrt_information instead."""
+    import jax as _jax
+
+    if (
+        dtype == jnp.float32
+        and _jax.config.jax_enable_x64
+        and _jax.default_backend() == "cpu"
+    ):
+        return jnp.float64
+    return dtype
+
+
 def schur_solve(H, g, spec: SchurSpec, lam, diag_floor=1e-8):
     """Solve (H + λ·D) δ = g by eliminating landmark blocks first.
 
@@ -73,7 +92,12 @@ def schur_solve(H, g, spec: SchurSpec, lam, diag_floor=1e-8):
     D = spec.dense_dim
     P = spec.n_scalar
     L = spec.n_block4
-    dtype = H.dtype
+    out_dtype = H.dtype
+    sd = _solve_dtype(H.dtype)
+    H = H.astype(sd)
+    g = g.astype(sd)
+    lam = jnp.asarray(lam, sd)
+    dtype = sd
 
     diag = jnp.diag(H)
     damp = lam * diag + jnp.asarray(diag_floor, dtype)
@@ -113,7 +137,7 @@ def schur_solve(H, g, spec: SchurSpec, lam, diag_floor=1e-8):
     if L > 0:
         dl = jnp.einsum("lkm,lm->lk", Wl, g_l - jnp.einsum("dlk,d->lk", Hdl, dd))
         parts.append(dl.reshape(L * 4))
-    return jnp.concatenate(parts)
+    return jnp.concatenate(parts).astype(out_dtype)
 
 
 def lm_solve(

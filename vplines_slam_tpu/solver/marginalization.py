@@ -57,7 +57,13 @@ def marginalize(J, r, marg_mask, eps=1e-8):
     parameter layout, with zero columns on the dropped parameters (keeping
     fixed shapes; the caller then re-maps slots when the window slides).
     """
-    dtype = J.dtype
+    from .lm import _solve_dtype
+
+    out_dtype = J.dtype
+    dtype = _solve_dtype(J.dtype)  # f64 Schur/eigh when x64 is on (f32 JᵀJ
+    # loses the prior's weak directions across repeated marginalizations)
+    J = J.astype(dtype)
+    r = r.astype(dtype)
     N = J.shape[1]
     H = J.T @ J
     b = J.T @ r
@@ -89,7 +95,7 @@ def marginalize(J, r, marg_mask, eps=1e-8):
     s_inv = jnp.where(w2 > eps, 1.0 / s, 0.0)
     J_prior = s[:, None] * V2.T
     r_prior = (s_inv[:, None] * V2.T) @ b_new
-    return J_prior, r_prior
+    return J_prior.astype(out_dtype), r_prior.astype(out_dtype)
 
 
 def prior_residual(prior: Prior, dx):
