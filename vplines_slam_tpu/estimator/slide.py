@@ -212,7 +212,9 @@ def marginalize_old(
     data_r = data._replace(
         pt_mask=pt_mask_r, ln_mask=ln_mask_r, imu_valid=imu_valid_r
     )
-    weights = ResidualWeights(use_vps=False)
+    # relo factors are never marginalized into the prior (the reference does
+    # not add them to marginalization_info — estimator.cpp:1229-1345)
+    weights = ResidualWeights(use_vps=False, use_relo=False)
 
     x0 = (state, data.pt_inv_depth, data.ln_orth)
     N = cfg.n_total
@@ -330,6 +332,9 @@ def slide_window_old(
             lambda a: _shift_frames(a, nf - 1), data.imu_pre
         ),
         imu_sqrt=_shift_frames(data.imu_sqrt, nf - 1),
+        # relocalization info is consumed by exactly one solve
+        relo_mask=jnp.zeros_like(data.relo_mask),
+        relo_valid=jnp.asarray(False),
     )
 
     # --- states shift ------------------------------------------------------
@@ -483,6 +488,8 @@ def slide_window_new(
         imu_dt=imu_dt, imu_acc=imu_acc, imu_gyr=imu_gyr,
         imu_mask=imu_mask, imu_valid=imu_valid,
         imu_pre=imu_pre, imu_sqrt=imu_sqrt,
+        relo_mask=jnp.zeros_like(data.relo_mask),
+        relo_valid=jnp.asarray(False),
         prior=prior_new,
     )
 

@@ -49,6 +49,13 @@ class StepOutput(NamedTuple):
     is_keyframe: jnp.ndarray
     failure: jnp.ndarray
     ba_cost: jnp.ndarray
+    # fast-relocalization feedback (estimator_node relo_relative_pose topic):
+    # relative pose of the loop keyframe expressed in the optimized relo
+    # (old keyframe) frame — valid when relo_valid
+    relo_valid: jnp.ndarray = jnp.asarray(False)
+    relo_rel_t: jnp.ndarray = jnp.zeros(3)
+    relo_rel_q: jnp.ndarray = jnp.array([1.0, 0.0, 0.0, 0.0])
+    relo_rel_yaw: jnp.ndarray = jnp.asarray(0.0)
 
 
 def _propagate_interval(state, cfg, dts, accs, gyrs, mask, params, k_from, k_to):
@@ -212,6 +219,22 @@ class VioEngine:
 
             failure = _failure_detection(state0, state)
 
+            # fast-relocalization feedback: refined relative pose between the
+            # loop keyframe (window slot NF-2: the keyframe after whose slide
+            # set_relo was called) and the optimized relo pose
+            # (estimator.cpp double2vector relo section + pubRelocalization)
+            from ..utils.geometry import quat_conj, quat_to_rot, rot_to_ypr
+
+            kf_idx = nf - 2
+            rel_t = quat_rotate(
+                quat_conj(state.q_relo), state.p[kf_idx] - state.p_relo
+            )
+            rel_q = quat_mul(quat_conj(state.q_relo), state.q[kf_idx])
+            rel_yaw = (
+                rot_to_ypr(quat_to_rot(state.q[kf_idx]))[0]
+                - rot_to_ypr(quat_to_rot(state.q_relo))[0]
+            )
+
             def do_kf(args):
                 state, data = args
                 prior = marginalize_old(state, data, cfg, params)
@@ -225,6 +248,8 @@ class VioEngine:
                 p=state.p[nf - 1], q=state.q[nf - 1], v=state.v[nf - 1],
                 ba=state.ba[nf - 1], bg=state.bg[nf - 1],
                 is_keyframe=is_kf, failure=failure, ba_cost=lm_out.cost,
+                relo_valid=data.relo_valid,
+                relo_rel_t=rel_t, relo_rel_q=rel_q, relo_rel_yaw=rel_yaw,
             )
             state, data = jax.lax.cond(is_kf, do_kf, do_non_kf, (state, data))
             return state, data, out
@@ -342,6 +367,42 @@ class VioEngine:
         if bool(out.failure):
             self.reset()
         return out
+
+    def set_relo(self, match_ids, match_obs, old_p, old_q):
+        """Arm fast-relocalization for the next solve (setReloFrame:1848).
+
+        match_ids: [M] feature ids verified against an old keyframe;
+        match_obs: [M, 2|3] their normalized observations in the OLD keyframe
+        camera; old_p/old_q: the old keyframe's (VIO-frame) pose, seeding the
+        6-dof relo pose that the next BA optimizes jointly with the window.
+        The refined relative pose comes back in StepOutput.relo_rel_*.
+        """
+        ids = np.asarray(match_ids, np.int64)
+        obs = np.asarray(match_obs, float)
+        if obs.shape[-1] == 2:
+            obs = np.concatenate([obs, np.ones_like(obs[..., :1])], axis=-1)
+        table = np.asarray(self.data.pt_id)
+        P = table.shape[0]
+        relo_obs = np.asarray(self.data.relo_obs)
+        relo_mask = np.zeros(P, bool)
+        slot_of = {int(t): s for s, t in enumerate(table) if t >= 0}
+        for m, fid in enumerate(ids):
+            s = slot_of.get(int(fid))
+            if s is not None:
+                relo_obs[s] = obs[m]
+                relo_mask[s] = True
+        if not relo_mask.any():
+            return False
+        self.data = self.data._replace(
+            relo_obs=jnp.asarray(relo_obs, self.dtype),
+            relo_mask=jnp.asarray(relo_mask),
+            relo_valid=jnp.asarray(True),
+        )
+        self.state = self.state._replace(
+            p_relo=jnp.asarray(old_p, self.dtype),
+            q_relo=jnp.asarray(old_q, self.dtype),
+        )
+        return True
 
     def reset(self):
         """Full reboot on failure (estimator clearState:reference)."""

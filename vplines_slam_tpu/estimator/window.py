@@ -15,7 +15,16 @@ The device-resident core of the VIO estimator — the TPU-native re-design of
 Parameter layout of the dense block (delta space):
   frame k in [0, NF): [δp(3), δθ(3), δv(3), δba(3), δbg(3)] at offset 15k
   extrinsic:          [δp_ic(3), δθ_ic(3)] at offset 15·NF
-  => ND = 15·NF + 6.  Landmarks: [inv depths (MAXP) | line orth (4·MAXL)].
+  relocalization pose: [δp_relo(3), δθ_relo(3)] at offset 15·NF + 6
+  => ND = 15·NF + 12.  Landmarks: [inv depths (MAXP) | line orth (4·MAXL)].
+
+The relocalization pose implements the reference's fast-relocalization
+factors (estimator.cpp:1174-1206 + setReloFrame:1848): when the pose graph
+verifies a loop, the matched old-keyframe observations are optimized
+jointly with the window against a 6-dof "relo" pose seeded at the old
+keyframe's VIO pose; the refined relative pose feeds back to the pose
+graph (keyframe updateKeyFrameLoop parity).  The 6 extra dense dims are
+always present (fixed shapes); their residuals are masked by relo_valid.
 """
 
 from __future__ import annotations
@@ -75,7 +84,7 @@ class WindowConfig(NamedTuple):
 
     @property
     def nd(self):
-        return 15 * self.nf + 6
+        return 15 * self.nf + 12  # frames + extrinsic + relo pose
 
     @property
     def n_landmark(self):
@@ -96,6 +105,8 @@ class WindowState(NamedTuple):
     bg: jnp.ndarray  # [NF, 3]
     p_ic: jnp.ndarray  # [3]
     q_ic: jnp.ndarray  # [4]
+    p_relo: jnp.ndarray  # [3] relocalization (old keyframe) pose
+    q_relo: jnp.ndarray  # [4]
 
 
 class TrackData(NamedTuple):
@@ -128,6 +139,11 @@ class TrackData(NamedTuple):
     # never re-integrates inside the optimizer)
     imu_pre: imu_mod.Preintegration  # batched [NF-1, ...]
     imu_sqrt: jnp.ndarray  # [NF-1, 15, 15] whitening transforms
+    # relocalization match points (slot-aligned with pt tracks; consumed by
+    # exactly one BA solve — estimator.cpp match_points semantics)
+    relo_obs: jnp.ndarray  # [MAXP, 3] normalized rays in the OLD keyframe cam
+    relo_mask: jnp.ndarray  # [MAXP] bool: slot has a verified loop match
+    relo_valid: jnp.ndarray  # [] bool: a relocalization frame is active
     # prior
     prior: marg_mod.Prior
     prior_state: WindowState  # linearization point of the prior
@@ -144,6 +160,8 @@ def empty_state(cfg: WindowConfig, dtype=jnp.float64) -> WindowState:
         bg=jnp.zeros((nf, 3), dtype),
         p_ic=jnp.zeros(3, dtype),
         q_ic=jnp.array([1.0, 0.0, 0.0, 0.0], dtype),
+        p_relo=jnp.zeros(3, dtype),
+        q_relo=jnp.array([1.0, 0.0, 0.0, 0.0], dtype),
     )
 
 
@@ -184,6 +202,9 @@ def empty_tracks(cfg: WindowConfig, dtype=jnp.float64) -> TrackData:
         imu_valid=jnp.zeros((nf - 1,), bool),
         imu_pre=_identity_pre(nf - 1, dtype),
         imu_sqrt=jnp.broadcast_to(jnp.eye(15, dtype=dtype), (nf - 1, 15, 15)),
+        relo_obs=jnp.zeros((P, 3), dtype).at[:, 2].set(1.0),
+        relo_mask=jnp.zeros((P,), bool),
+        relo_valid=jnp.asarray(False),
         prior=marg_mod.empty_prior(cfg.nd, dtype),
         prior_state=empty_state(cfg, dtype),
     )
@@ -201,6 +222,7 @@ def retract_state(state: WindowState, d: jnp.ndarray, cfg: WindowConfig) -> Wind
         state.q, df[:, 3:6]
     )
     de = d[15 * nf : 15 * nf + 6]
+    dr = d[15 * nf + 6 : 15 * nf + 12]
     return WindowState(
         p=state.p + df[:, 0:3],
         q=q_new,
@@ -209,6 +231,8 @@ def retract_state(state: WindowState, d: jnp.ndarray, cfg: WindowConfig) -> Wind
         bg=state.bg + df[:, 12:15],
         p_ic=state.p_ic + de[0:3],
         q_ic=quat_normalize(quat_mul(state.q_ic, so3_exp_quat(de[3:6]))),
+        p_relo=state.p_relo + dr[0:3],
+        q_relo=quat_normalize(quat_mul(state.q_relo, so3_exp_quat(dr[3:6]))),
     )
 
 
@@ -221,7 +245,10 @@ def boxminus_state(x: WindowState, x0: WindowState, cfg: WindowConfig) -> jnp.nd
     de = jnp.concatenate(
         [x.p_ic - x0.p_ic, quat_log(quat_mul(quat_conj(x0.q_ic), x.q_ic))]
     )
-    return jnp.concatenate([df, de])
+    dr = jnp.concatenate(
+        [x.p_relo - x0.p_relo, quat_log(quat_mul(quat_conj(x0.q_relo), x.q_relo))]
+    )
+    return jnp.concatenate([df, de, dr])
 
 
 # ---------------------------------------------------------------------------
@@ -235,6 +262,7 @@ class ResidualWeights(NamedTuple):
     use_vps: bool = True
     use_imu: bool = True
     use_prior: bool = True
+    use_relo: bool = True
 
 
 def _imu_residuals(state, data, cfg, params):
@@ -342,6 +370,36 @@ def _vp_residuals(state, data, orth, cfg):
     )(jnp.arange(cfg.max_lines))
 
 
+def _relo_residuals(state, data, inv_depth, cfg):
+    """[MAXP, 2] relocalization factors (estimator.cpp:1174-1206): each
+    matched track's anchor observation re-projected into the relo (old
+    keyframe) pose, against the loop-matched observation there.  Same
+    unit-weight projection factor as the reference's ProjectionFactor on
+    (pose[start], relo_pose, extrinsic, depth)."""
+
+    def one(slot):
+        i = data.pt_start[slot]
+        r = res.point_reprojection(
+            state.p[i], state.q[i], state.p_relo, state.q_relo,
+            state.p_ic, state.q_ic,
+            inv_depth[slot], data.pt_obs[slot, i], data.relo_obs[slot],
+        )
+        valid = (
+            data.relo_valid
+            & data.relo_mask[slot]
+            & (data.pt_id[slot] >= 0)
+            & data.pt_solved[slot]
+        )
+        r = r * cfg.point_sqrt_info
+        r = jnp.where(jnp.isfinite(r) & valid, r, 0.0)
+        w = res.huber_weight(
+            jax.lax.stop_gradient(jnp.sum(r * r)), cfg.huber_delta
+        )
+        return r * w
+
+    return jax.vmap(one)(jnp.arange(cfg.max_points))
+
+
 def window_residuals(
     x, data: TrackData, cfg: WindowConfig, params: imu_mod.ImuParams,
     weights: ResidualWeights = ResidualWeights(),
@@ -360,6 +418,8 @@ def window_residuals(
         parts.append(_line_residuals(state, data, orth, cfg).reshape(-1))
     if weights.use_vps:
         parts.append(_vp_residuals(state, data, orth, cfg).reshape(-1))
+    if weights.use_relo:
+        parts.append(_relo_residuals(state, data, inv_depth, cfg).reshape(-1))
     return jnp.concatenate(parts)
 
 
@@ -414,7 +474,15 @@ def solve_window(
     )
     q_fixed = jax.vmap(lambda q: quat_mul(q_fix, q))(state_new.q)
     v_fixed = jax.vmap(lambda v: R_fix @ v)(state_new.v)
-    state_fixed = state_new._replace(p=p_fixed, q=q_fixed, v=v_fixed)
+    state_fixed = state_new._replace(
+        p=p_fixed,
+        q=q_fixed,
+        v=v_fixed,
+        # relo pose rides the same gauge correction so the relative pose
+        # against the window stays consistent (double2vector relo section)
+        p_relo=R_fix @ (state_new.p_relo - state_new.p[0]) + state.p[0],
+        q_relo=quat_mul(q_fix, state_new.q_relo),
+    )
 
     # transform world lines by the same gauge correction
     t_fix = state.p[0] - R_fix @ state_new.p[0]

@@ -159,7 +159,11 @@ def verify_loop(
     """Descriptor match + PnP-RANSAC + gates against one candidate keyframe
     (keyframe.cpp findConnection:259-480).
 
-    Returns (ok, rel_t (in old frame), rel_yaw deg, n_inliers)."""
+    Returns (ok, rel_t (in old frame), rel_yaw deg, n_inliers,
+    obs_old [Wp, 2] matched normalized coords in the old keyframe,
+    match_mask [Wp] inlier matches) — the last two feed the estimator's
+    fast-relocalization factors (keyframe.cpp:488-513 publishes exactly the
+    matched old-frame norm points + ids)."""
     old_desc = db.desc[cand]
     old_valid = db.kp_valid[cand]
     old_norm = db.kp_norm[cand]
@@ -189,7 +193,7 @@ def verify_loop(
         & (jnp.abs((rel_yaw + 180.0) % 360.0 - 180.0) < cfg.max_yaw)
         & (jnp.linalg.norm(rel_t) < cfg.max_t)
     )
-    return ok, rel_t, rel_yaw, n_inl
+    return ok, rel_t, rel_yaw, n_inl, obs_old, m_ok & inl
 
 
 def record_loop(db: KeyframeDB, k, cand, rel_t, rel_yaw):

@@ -142,7 +142,10 @@ def make_dist_ba_step(mesh: Mesh, cfg: win_mod.WindowConfig, params: imu_mod.Imu
             dl = wl * (g_l - Hdl.T @ dd)
             return dd, dl, cost
 
-        from jax.experimental.shard_map import shard_map
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
 
         dd, dl, cost = shard_map(
             sharded_fn,

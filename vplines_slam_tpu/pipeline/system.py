@@ -79,6 +79,9 @@ class SlamSystem:
         self.R_drift = np.eye(3)
         self.t_drift = np.zeros(3)
         self._pending_loops = 0
+        # fast-relocalization in flight: (cur_kf_index, old_kf_index) whose
+        # refined relative pose the next VIO step will deliver
+        self._pending_relo = None
         self.fusion_cfg = fusion_cfg
         self.fusion = gf_mod.empty_fusion(fusion_cfg, dtype) if fusion_cfg else None
         self._gps_origin = None
@@ -115,8 +118,19 @@ class SlamSystem:
             return None
 
         loop_closed = False
+        # consume refined relative pose from an in-flight relocalization
+        # (relo_relative_pose -> updateKeyFrameLoop parity)
+        if self._pending_relo is not None and bool(out.relo_valid):
+            k_cur, k_old = self._pending_relo
+            self.db = pg_mod.record_loop(
+                self.db, k_cur, k_old,
+                jnp.asarray(out.relo_rel_t), jnp.asarray(out.relo_rel_yaw),
+            )
+            self._run_pgo()
+            loop_closed = True
+        self._pending_relo = None
         if self.use_loop and bool(out.is_keyframe):
-            loop_closed = self._process_keyframe(t, img, out, feats)
+            loop_closed = self._process_keyframe(t, img, out, feats) or loop_closed
 
         p_vio = np.asarray(out.p)
         q_vio = np.asarray(out.q)
@@ -141,7 +155,7 @@ class SlamSystem:
         cfg = self.pg_cfg
         lift = lambda xy: cam_mod.lift(self.cam, xy)
         # window points: tracked features with solved depths -> world points
-        w3d, wxy, w_valid = self._window_points()
+        w3d, wxy, w_valid, w_ids = self._window_points()
         fb = pg_mod.extract_keyframe_features(
             img, lift, cfg, window_xy=(wxy, w_valid)
         )
@@ -155,22 +169,34 @@ class SlamSystem:
         closed = False
         if k > cfg.skip_recent and float(cand_s[0]) > cfg.min_score:
             self._key, key = jax.random.split(self._key)
-            ok, rel_t, rel_yaw, n_inl = pg_mod.verify_loop(
+            ok, rel_t, rel_yaw, n_inl, obs_old, m_mask = pg_mod.verify_loop(
                 self.db, cfg, int(cand_i[0]), fb["wdesc"], w3d, w_valid,
                 jnp.asarray(out.p), jnp.asarray(out.q), key,
             )
             if bool(ok):
-                self.db = pg_mod.record_loop(
-                    self.db, k, int(cand_i[0]), rel_t, rel_yaw
-                )
-                self.db, _ = jax.jit(
-                    lambda db: pg_mod.optimize_4dof(db, cfg)
-                )(self.db)
-                R_d, t_d = pg_mod.drift_correction(self.db, cfg)
-                self.R_drift = np.asarray(R_d)
-                self.t_drift = np.asarray(t_d)
+                cand = int(cand_i[0])
+                self.db = pg_mod.record_loop(self.db, k, cand, rel_t, rel_yaw)
+                self._run_pgo()
                 closed = True
+                # arm fast-relocalization: matched old-keyframe observations
+                # refine the loop's relative pose inside the next window BA
+                mm = np.asarray(m_mask)
+                if mm.any():
+                    armed = self.vio.set_relo(
+                        np.asarray(w_ids)[mm], np.asarray(obs_old)[mm],
+                        self.db.p_vio[cand], self.db.q_vio[cand],
+                    )
+                    if armed:
+                        self._pending_relo = (k, cand)
         return closed
+
+    def _run_pgo(self):
+        self.db, _ = jax.jit(
+            lambda db: pg_mod.optimize_4dof(db, self.pg_cfg)
+        )(self.db)
+        R_d, t_d = pg_mod.drift_correction(self.db, self.pg_cfg)
+        self.R_drift = np.asarray(R_d)
+        self.t_drift = np.asarray(t_d)
 
     def _window_points(self):
         """World 3D points + pixel coords of currently solved tracks (the
@@ -206,4 +232,4 @@ class SlamSystem:
         seen = seen & vis
         # take the first Wp
         idx = jnp.argsort(~seen)[:Wp]
-        return Xw[idx], uv_px[idx], seen[idx]
+        return Xw[idx], uv_px[idx], seen[idx], data.pt_id[idx]
