@@ -150,3 +150,109 @@ def test_retrieval_excludes_recent():
     assert 55 not in np.asarray(idx)  # excluded (recent)
     idx, score = pg.retrieve_candidates(db, cfg, jnp.asarray(sigs[5]))
     assert int(idx[0]) == 5 and float(score[0]) > 0.99
+
+
+def _true_circle(n_kf, R=5.0):
+    p, yaw = [], []
+    for k in range(n_kf):
+        th = 2 * np.pi * k / n_kf
+        p.append([R * np.cos(th), R * np.sin(th), 0.0])
+        yaw.append(np.degrees(th + np.pi / 2))
+    return np.asarray(p), np.asarray(yaw)
+
+
+def _set_kf(db, k, p, yaw, seq):
+    q = geo.rot_to_quat(geo.ypr_to_rot(jnp.asarray([yaw, 0.0, 0.0])))
+    return db._replace(
+        count=jnp.maximum(db.count, k + 1),
+        seq=db.seq.at[k].set(seq),
+        p_vio=db.p_vio.at[k].set(jnp.asarray(p)),
+        q_vio=db.q_vio.at[k].set(q),
+        p_pgo=db.p_pgo.at[k].set(jnp.asarray(p)),
+        yaw_pgo=db.yaw_pgo.at[k].set(yaw),
+    )
+
+
+def test_multisequence_rebase():
+    """A second sequence starts in its own VIO frame (estimator reboot);
+    the first inter-sequence loop re-bases it onto the old map
+    (pose_graph.cpp:103-124)."""
+    cfg = pg.PoseGraphConfig(max_keyframes=64)
+    truth_p, truth_yaw = _true_circle(30)
+    db = pg.empty_db(cfg)
+    # sequence 1: KFs 0..19 exactly at truth
+    for k in range(20):
+        db = _set_kf(db, k, truth_p[k], truth_yaw[k], seq=1)
+    # sequence 2: KFs 20..29, VIO restarted -> poses in a shifted frame
+    dyaw = 40.0
+    R_off = np.asarray(geo.ypr_to_rot(jnp.asarray([dyaw, 0.0, 0.0])))
+    t_off = np.asarray([3.0, -2.0, 0.5])
+    for k in range(20, 30):
+        p2 = R_off.T @ (truth_p[k] - t_off)  # inverse shift = seq-2 frame
+        db = _set_kf(db, k, p2, truth_yaw[k] - dyaw, seq=2)
+    # loop edge: KF 25 (seq 2) onto KF 5 (seq 1), true relative pose
+    Ri = np.asarray(geo.ypr_to_rot(jnp.asarray([truth_yaw[5], 0.0, 0.0])))
+    rel_t = Ri.T @ (truth_p[25] - truth_p[5])
+    rel_yaw = truth_yaw[25] - truth_yaw[5]
+    db = pg.record_loop(db, 25, 5, jnp.asarray(rel_t), jnp.asarray(rel_yaw))
+
+    db2, (R_s, t_s) = pg.rebase_sequence(db, cfg, 25, 5)
+    # sequence-2 keyframes land on truth
+    err = np.linalg.norm(np.asarray(db2.p_vio[20:30]) - truth_p[20:30], axis=1)
+    assert err.max() < 1e-6
+    # sequence-1 keyframes untouched
+    np.testing.assert_allclose(
+        np.asarray(db2.p_vio[:20]), truth_p[:20], atol=1e-12
+    )
+    # returned shift maps seq-2 frame onto the map frame
+    p_chk = np.asarray(R_s) @ np.asarray(db.p_vio[22]) + np.asarray(t_s)
+    np.testing.assert_allclose(p_chk, truth_p[22], atol=1e-6)
+
+
+def test_pgo_holds_loaded_map_fixed():
+    """Keyframes of a loaded prior map (seq 0) stay constant in the 4-DoF
+    PGO (optimize4DoF SetParameterBlockConstant on sequence-0 frames)."""
+    cfg = pg.PoseGraphConfig(max_keyframes=64, pgo_iters=8)
+    truth_p, truth_yaw = _true_circle(30)
+    db = pg.empty_db(cfg)
+    for k in range(15):
+        db = _set_kf(db, k, truth_p[k], truth_yaw[k], seq=0)
+    rng = np.random.default_rng(2)
+    for k in range(15, 30):
+        db = _set_kf(
+            db, k,
+            truth_p[k] + rng.normal(0, 0.2, 3),
+            truth_yaw[k] + rng.normal(0, 2.0),
+            seq=1,
+        )
+    # two loop edges pinning the live sequence to the prior map
+    for k_cur, k_old in [(20, 5), (28, 10)]:
+        Ri = np.asarray(geo.ypr_to_rot(jnp.asarray([truth_yaw[k_old], 0.0, 0.0])))
+        rel_t = Ri.T @ (truth_p[k_cur] - truth_p[k_old])
+        db = pg.record_loop(
+            db, k_cur, k_old, jnp.asarray(rel_t),
+            jnp.asarray(truth_yaw[k_cur] - truth_yaw[k_old]),
+        )
+    db2, _ = pg.optimize_4dof(db, cfg)
+    # prior map did not move
+    np.testing.assert_allclose(
+        np.asarray(db2.p_pgo[:15]), truth_p[:15], atol=1e-3
+    )
+    # live sequence pulled toward truth at the loop keyframes
+    err_before = np.linalg.norm(np.asarray(db.p_pgo[20]) - truth_p[20])
+    err_after = np.linalg.norm(np.asarray(db2.p_pgo[20]) - truth_p[20])
+    assert err_after < err_before
+
+
+def test_map_save_load_roundtrip(tmp_path):
+    cfg = pg.PoseGraphConfig(max_keyframes=32)
+    truth_p, truth_yaw = _true_circle(10)
+    db = pg.empty_db(cfg)
+    for k in range(10):
+        db = _set_kf(db, k, truth_p[k], truth_yaw[k], seq=1)
+    path = str(tmp_path / "map.npz")
+    pg.save_db(db, path)
+    db2 = pg.load_db(path)
+    assert int(db2.count) == 10
+    np.testing.assert_allclose(np.asarray(db2.p_vio), np.asarray(db.p_vio))
+    np.testing.assert_array_equal(np.asarray(db2.seq), np.asarray(db.seq))

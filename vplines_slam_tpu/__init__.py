@@ -24,3 +24,13 @@ fixed-shape, batched pipeline:
 """
 
 __version__ = "0.1.0"
+
+# SLAM is a geometry workload: metre-scale positions flow through 3x3/NxN
+# matmuls everywhere (pose composition, normal equations, Schur reduction).
+# TPU's default matmul precision multiplies in bfloat16, which injects
+# ~centimetre errors at 5 m scale (measured: 1.7 cm on a pose-graph re-base
+# that is exact to 6e-7 on CPU f32).  Force full-f32 MXU passes globally;
+# image kernels that can tolerate bf16 opt back in locally if profiled.
+import jax as _jax
+
+_jax.config.update("jax_default_matmul_precision", "highest")

@@ -61,6 +61,7 @@ class PoseGraphConfig(NamedTuple):
 
 class KeyframeDB(NamedTuple):
     count: jnp.ndarray  # [] int32
+    seq: jnp.ndarray  # [K] int32 sequence id (0 = loaded prior map, held fixed)
     p_vio: jnp.ndarray  # [K, 3] VIO pose at insertion
     q_vio: jnp.ndarray  # [K, 4]
     p_pgo: jnp.ndarray  # [K, 3] optimized
@@ -81,6 +82,9 @@ def empty_db(cfg: PoseGraphConfig, dtype=jnp.float64) -> KeyframeDB:
     K, F, Wp = cfg.max_keyframes, cfg.n_features, cfg.n_window_pts
     return KeyframeDB(
         count=jnp.asarray(0, jnp.int32),
+        # default live sequence is 1; seq 0 marks keyframes of a LOADED prior
+        # map, which the PGO holds constant (set by SlamSystem.load_map)
+        seq=jnp.ones((K,), jnp.int32),
         p_vio=jnp.zeros((K, 3), dtype),
         q_vio=jnp.zeros((K, 4), dtype).at[:, 0].set(1.0),
         p_pgo=jnp.zeros((K, 3), dtype),
@@ -117,13 +121,14 @@ def extract_keyframe_features(img, cam_lift, cfg: PoseGraphConfig, window_xy=Non
 
 def add_keyframe(
     db: KeyframeDB, cfg: PoseGraphConfig, p_vio, q_vio, sig, desc, kp_norm,
-    kp_valid, wdesc, w3d, w_valid,
+    kp_valid, wdesc, w3d, w_valid, seq=1,
 ):
     k = db.count
     # seed PGO state with drift-corrected VIO pose
     yaw_vio = rot_to_ypr(quat_to_rot(q_vio))[0]
     return db._replace(
         count=k + 1,
+        seq=db.seq.at[k].set(jnp.asarray(seq, jnp.int32)),
         p_vio=db.p_vio.at[k].set(p_vio),
         q_vio=db.q_vio.at[k].set(q_vio),
         p_pgo=db.p_pgo.at[k].set(p_vio),
@@ -152,18 +157,29 @@ def retrieve_candidates(db: KeyframeDB, cfg: PoseGraphConfig, sig):
     return top_i, top_s
 
 
+class LoopResult(NamedTuple):
+    ok: jnp.ndarray  # [] bool: passed inlier/yaw/translation gates
+    rel_t: jnp.ndarray  # [3] cur position in the old keyframe's frame
+    rel_yaw: jnp.ndarray  # [] deg
+    n_inliers: jnp.ndarray  # [] int32
+    obs_old: jnp.ndarray  # [Wp, 2] matched normalized coords in old keyframe
+    match_mask: jnp.ndarray  # [Wp] bool: descriptor match AND PnP inlier
+    p_old: jnp.ndarray  # [3] PnP old-keyframe pose in the CURRENT vio frame
+    q_old: jnp.ndarray  # [4]
+
+
 def verify_loop(
     db: KeyframeDB, cfg: PoseGraphConfig, cand, wdesc, w3d, w_valid,
-    p_cur, q_cur, key,
-):
+    p_cur, q_cur, key, q_ic=None, p_ic=None,
+) -> LoopResult:
     """Descriptor match + PnP-RANSAC + gates against one candidate keyframe
     (keyframe.cpp findConnection:259-480).
 
-    Returns (ok, rel_t (in old frame), rel_yaw deg, n_inliers,
-    obs_old [Wp, 2] matched normalized coords in the old keyframe,
-    match_mask [Wp] inlier matches) — the last two feed the estimator's
-    fast-relocalization factors (keyframe.cpp:488-513 publishes exactly the
-    matched old-frame norm points + ids)."""
+    obs_old/match_mask feed the estimator's fast-relocalization factors
+    (keyframe.cpp:488-513 publishes exactly the matched old-frame norm
+    points + ids); p_old/q_old (the PnP camera pose expressed in the current
+    session's VIO world, since w3d lives there) seed the 6-dof relo pose —
+    valid even when the candidate belongs to another sequence/map."""
     old_desc = db.desc[cand]
     old_valid = db.kp_valid[cand]
     old_norm = db.kp_norm[cand]
@@ -176,9 +192,18 @@ def verify_loop(
     R0, t0, inl, n_inl = mvg.ransac_pnp(
         w3d, obs_old, m_ok, key, n_hyp=32, threshold=cfg.pnp_thresh
     )
-    # T_old_w: x_old = R0 x_w + t0 -> old pose in world
-    R_w_old = R0.T
-    p_old_pnp = -R0.T @ t0
+    # T_old_w: x_old_cam = R0 x_w + t0 -> old CAMERA pose in world, then to
+    # the body frame via the camera-IMU extrinsic (keyframe.cpp PnPRANSAC
+    # :232-236 does exactly this with qic/tic)
+    R_w_oldc = R0.T
+    p_w_oldc = -R0.T @ t0
+    if q_ic is not None:
+        R_ic = quat_to_rot(q_ic)
+        R_w_old = R_w_oldc @ R_ic.T
+        p_old_pnp = p_w_oldc - R_w_old @ p_ic
+    else:
+        R_w_old = R_w_oldc
+        p_old_pnp = p_w_oldc
     q_w_old = rot_to_quat(R_w_old)
 
     # relative pose: cur body expressed in the PnP-estimated old frame
@@ -193,7 +218,11 @@ def verify_loop(
         & (jnp.abs((rel_yaw + 180.0) % 360.0 - 180.0) < cfg.max_yaw)
         & (jnp.linalg.norm(rel_t) < cfg.max_t)
     )
-    return ok, rel_t, rel_yaw, n_inl, obs_old, m_ok & inl
+    return LoopResult(
+        ok=ok, rel_t=rel_t, rel_yaw=rel_yaw, n_inliers=n_inl,
+        obs_old=obs_old, match_mask=m_ok & inl,
+        p_old=p_old_pnp, q_old=q_w_old,
+    )
 
 
 def record_loop(db: KeyframeDB, k, cand, rel_t, rel_yaw):
@@ -241,12 +270,14 @@ def optimize_4dof(db: KeyframeDB, cfg: PoseGraphConfig):
             r_y = (yaw[j] - yaw[i] - yaw_meas + 180.0) % 360.0 - 180.0
             return jnp.concatenate([r_t, r_y[None] / 10.0]) * w
 
-        # sequential edges: j to its up-to-4 predecessors
+        # sequential edges: j to its up-to-4 predecessors IN THE SAME SEQUENCE
+        # (optimize4DoF checks sequence_array[i] == sequence_array[i-j])
         def seq_edges(j):
             def one(d):
                 i = j - d
                 okd = (i >= 0) & active[j] & (j >= 1)
                 isafe = jnp.maximum(i, 0)
+                okd = okd & (db.seq[isafe] == db.seq[j])
                 tm, ym = rel_meas(isafe, j)
                 return edge_res(isafe, j, tm, ym, okd.astype(dtype))
 
@@ -265,14 +296,21 @@ def optimize_4dof(db: KeyframeDB, cfg: PoseGraphConfig):
 
         r_loop = jax.vmap(loop_edge)(jnp.arange(K))  # [K, 4]
 
-        # gauge: pin the first keyframe at its current estimate
+        # gauge: pin the first keyframe, and hold every keyframe of a loaded
+        # prior map (seq == 0) constant (optimize4DoF: "(*it)->sequence == 0"
+        # frames are SetParameterBlockConstant)
+        fixed = (jnp.arange(K) == 0) | ((db.seq == 0) & active)
         r_gauge = (
             jnp.concatenate(
-                [x[0, 1:4] - db.p_pgo[0], x[0, 0:1] - db.yaw_pgo[0:1]]
+                [x[:, 1:4] - db.p_pgo, (x[:, 0:1] - db.yaw_pgo[:, None])],
+                axis=1,
             )
+            * fixed[:, None].astype(dtype)
             * 100.0
         )
-        return jnp.concatenate([r_seq.reshape(-1), r_loop.reshape(-1), r_gauge])
+        return jnp.concatenate(
+            [r_seq.reshape(-1), r_loop.reshape(-1), r_gauge.reshape(-1)]
+        )
 
     x0 = jnp.concatenate([db.yaw_pgo[:, None], db.p_pgo], axis=1)
     # re-seed from VIO for inactive entries to keep residuals zero there
@@ -286,6 +324,40 @@ def optimize_4dof(db: KeyframeDB, cfg: PoseGraphConfig):
     )
     xf = out.x.reshape(K, 4)
     return db._replace(yaw_pgo=xf[:, 0], p_pgo=xf[:, 1:4]), out
+
+
+def rebase_sequence(db: KeyframeDB, cfg: PoseGraphConfig, k_cur, cand):
+    """Re-base the current sequence onto the old map at its first
+    inter-sequence loop (pose_graph.cpp:103-124): compute the yaw+t shift
+    that moves the loop keyframe onto (old pose ∘ loop relative), then apply
+    it to every keyframe of the same sequence (their VIO and PGO poses).
+    """
+    dtype = db.p_vio.dtype
+    # world target of the current keyframe from the old keyframe + loop edge
+    ypr_old = rot_to_ypr(quat_to_rot(db.q_vio[cand]))
+    R_old = ypr_to_rot(ypr_old)
+    w_p_cur = R_old @ db.loop_t[k_cur] + db.p_vio[cand]
+    w_yaw_cur = ypr_old[0] + db.loop_yaw[k_cur]
+
+    yaw_vio_cur = rot_to_ypr(quat_to_rot(db.q_vio[k_cur]))[0]
+    shift_yaw = w_yaw_cur - yaw_vio_cur
+    z = jnp.zeros_like(shift_yaw)
+    R_s = ypr_to_rot(jnp.stack([shift_yaw, z, z]))
+    t_s = w_p_cur - R_s @ db.p_vio[k_cur]
+    q_s = rot_to_quat(R_s)
+
+    member = (db.seq == db.seq[k_cur]) & (jnp.arange(db.seq.shape[0]) < db.count)
+    p_vio2 = jnp.where(
+        member[:, None], (db.p_vio @ R_s.T) + t_s, db.p_vio
+    )
+    q_vio2 = jnp.where(
+        member[:, None], jax.vmap(lambda q: quat_mul(q_s, q))(db.q_vio), db.q_vio
+    )
+    p_pgo2 = jnp.where(member[:, None], (db.p_pgo @ R_s.T) + t_s, db.p_pgo)
+    yaw_pgo2 = jnp.where(member, db.yaw_pgo + shift_yaw, db.yaw_pgo)
+    return db._replace(
+        p_vio=p_vio2, q_vio=q_vio2, p_pgo=p_pgo2, yaw_pgo=yaw_pgo2
+    ), (R_s, t_s)
 
 
 def save_db(db: KeyframeDB, path):

@@ -13,13 +13,20 @@ import jax
 import jax.numpy as jnp
 
 
-def _conv2d_same(img, kernel):
-    """Single-channel 2D convolution, SAME padding (maps to XLA conv)."""
+def _conv2d_same(img, kernel, precision="default"):
+    """Single-channel 2D convolution, SAME padding (maps to XLA conv).
+
+    Image data is [0,1] with 3-5 tap kernels: bf16 MXU passes ("default")
+    keep ~0.4% relative error, plenty for blur/pyramid/gradient use — so
+    these convs opt OUT of the package-wide "highest" matmul precision
+    (set in __init__ for metre-scale geometry, where bf16 is centimetres).
+    """
     return jax.lax.conv_general_dilated(
         img[None, None, :, :],
         kernel[None, None, :, :].astype(img.dtype),
         window_strides=(1, 1),
         padding="SAME",
+        precision=precision,
     )[0, 0]
 
 

@@ -57,6 +57,7 @@ class SlamSystem:
         q_ic=None,
         p_ic=None,
         use_loop_closure: bool = True,
+        stream_gap_restart: float = 1.0,
         dtype=jnp.float32,
     ):
         self.cam = cam
@@ -82,6 +83,16 @@ class SlamSystem:
         # fast-relocalization in flight: (cur_kf_index, old_kf_index) whose
         # refined relative pose the next VIO step will deliver
         self._pending_relo = None
+        # multi-sequence bookkeeping (pose_graph.cpp sequence_cnt/sequence_loop;
+        # seq 0 is reserved for a loaded prior map).  (R_base, t_base) is the
+        # reference's w_r_vio/w_t_vio: the shift applied to every incoming
+        # VIO pose of the current sequence after it was re-based onto the map.
+        self.seq = 1
+        self._rebased_seqs = set()
+        self._gap_restart = stream_gap_restart
+        self._last_img_t = None
+        self.R_base = np.eye(3)
+        self.t_base = np.zeros(3)
         self.fusion_cfg = fusion_cfg
         self.fusion = gf_mod.empty_fusion(fusion_cfg, dtype) if fusion_cfg else None
         self._gps_origin = None
@@ -102,8 +113,35 @@ class SlamSystem:
             lambda s: gf_mod.optimize(s, self.fusion_cfg)
         )(self.fusion)
 
+    def new_sequence(self):
+        """Start a new sequence after a stream discontinuity or reboot
+        (pose_graph_node.cpp:69-111 + addKeyFrame sequence shift :47-62):
+        the estimator restarts in its own fresh VIO frame; drift resets; the
+        sequence re-attaches to the old map at its first inter-sequence loop.
+        """
+        self.seq += 1
+        self.vio.reset()
+        self.R_drift = np.eye(3)
+        self.t_drift = np.zeros(3)
+        self.R_base = np.eye(3)
+        self.t_base = np.zeros(3)
+        self._pending_relo = None
+
+    def load_map(self, path):
+        """Load a prior keyframe map for multi-session relocalization
+        (loadPoseGraph parity: loaded keyframes get sequence 0 and are held
+        fixed in the 4-DoF PGO)."""
+        db = pg_mod.load_db(path)
+        self.db = db._replace(seq=jnp.zeros_like(db.seq))
+
     def add_image(self, t, img) -> Optional[SystemOutput]:
         """Process one grayscale frame [H, W] in [0,1]."""
+        if (
+            self._last_img_t is not None
+            and t - self._last_img_t > self._gap_restart
+        ):
+            self.new_sequence()
+        self._last_img_t = t
         img = jnp.asarray(img, self.dtype)
         feats = self.frontend.process(t, img)
         ln_kwargs = {}
@@ -132,13 +170,15 @@ class SlamSystem:
         if self.use_loop and bool(out.is_keyframe):
             loop_closed = self._process_keyframe(t, img, out, feats) or loop_closed
 
-        p_vio = np.asarray(out.p)
-        q_vio = np.asarray(out.q)
-        p_corr = self.R_drift @ p_vio + self.t_drift
         from ..utils.geometry import rot_to_quat
 
+        p_vio = np.asarray(out.p)
+        q_vio = np.asarray(out.q)
+        # sequence base shift (w_r_vio/w_t_vio) then drift correction
+        R_bd = self.R_drift @ self.R_base
+        p_corr = R_bd @ p_vio + self.R_drift @ self.t_base + self.t_drift
         q_corr = np.asarray(
-            quat_mul(rot_to_quat(jnp.asarray(self.R_drift, self.dtype)), out.q)
+            quat_mul(rot_to_quat(jnp.asarray(R_bd, self.dtype)), out.q)
         )
         if self.fusion is not None:
             self.fusion = jax.jit(
@@ -152,6 +192,8 @@ class SlamSystem:
 
     # ------------------------------------------------------- loop closure
     def _process_keyframe(self, t, img, out, feats) -> bool:
+        from ..utils.geometry import rot_to_quat
+
         cfg = self.pg_cfg
         lift = lambda xy: cam_mod.lift(self.cam, xy)
         # window points: tracked features with solved depths -> world points
@@ -162,29 +204,63 @@ class SlamSystem:
         k = int(self.db.count)
         sig = fb["sig"]
         cand_i, cand_s = pg_mod.retrieve_candidates(self.db, cfg, sig)
+        # keyframe pose and its world points in the sequence-based map frame
+        Rb = jnp.asarray(self.R_base, self.dtype)
+        tb = jnp.asarray(self.t_base, self.dtype)
+        q_b = rot_to_quat(Rb)
+        p_kf = Rb @ jnp.asarray(out.p) + tb
+        q_kf = quat_mul(q_b, jnp.asarray(out.q))
+        w3d = w3d @ Rb.T + tb
         self.db = pg_mod.add_keyframe(
-            self.db, cfg, jnp.asarray(out.p), jnp.asarray(out.q), sig,
+            self.db, cfg, p_kf, q_kf, sig,
             fb["desc"], fb["kp_norm"], fb["kp_valid"], fb["wdesc"], w3d, w_valid,
+            seq=self.seq,
         )
         closed = False
-        if k > cfg.skip_recent and float(cand_s[0]) > cfg.min_score:
+        # candidates from other sequences/maps skip the recency check (the
+        # exclusion zone only guards against trivial same-trajectory matches)
+        cand = int(cand_i[0])
+        cross_seq = k > 0 and int(self.db.seq[cand]) != self.seq
+        eligible = (k > cfg.skip_recent or cross_seq) and float(
+            cand_s[0]
+        ) > cfg.min_score
+        if eligible:
             self._key, key = jax.random.split(self._key)
-            ok, rel_t, rel_yaw, n_inl, obs_old, m_mask = pg_mod.verify_loop(
-                self.db, cfg, int(cand_i[0]), fb["wdesc"], w3d, w_valid,
-                jnp.asarray(out.p), jnp.asarray(out.q), key,
+            lr = pg_mod.verify_loop(
+                self.db, cfg, cand, fb["wdesc"], w3d, w_valid,
+                p_kf, q_kf, key,
+                q_ic=self.vio.state.q_ic, p_ic=self.vio.state.p_ic,
             )
-            if bool(ok):
-                cand = int(cand_i[0])
-                self.db = pg_mod.record_loop(self.db, k, cand, rel_t, rel_yaw)
+            if bool(lr.ok):
+                self.db = pg_mod.record_loop(
+                    self.db, k, cand, lr.rel_t, lr.rel_yaw
+                )
+                if cross_seq and self.seq not in self._rebased_seqs:
+                    # first loop onto an older sequence/map: re-base the whole
+                    # current sequence and fold the shift into the incoming
+                    # base transform (pose_graph.cpp:103-124 w_r_vio/w_t_vio)
+                    self.db, (R_s, t_s) = jax.jit(
+                        lambda db: pg_mod.rebase_sequence(db, cfg, k, cand)
+                    )(self.db)
+                    R_s, t_s = np.asarray(R_s), np.asarray(t_s)
+                    self.R_base = R_s @ self.R_base
+                    self.t_base = R_s @ self.t_base + t_s
+                    self._rebased_seqs.add(self.seq)
                 self._run_pgo()
                 closed = True
                 # arm fast-relocalization: matched old-keyframe observations
-                # refine the loop's relative pose inside the next window BA
-                mm = np.asarray(m_mask)
+                # refine the loop's relative pose inside the next window BA;
+                # the PnP seed pose is mapped back into the estimator's raw
+                # VIO frame (undo the sequence base shift)
+                mm = np.asarray(lr.match_mask)
                 if mm.any():
+                    Rb_n = np.asarray(Rb)
+                    tb_n = np.asarray(tb)
+                    p_seed = Rb_n.T @ (np.asarray(lr.p_old) - tb_n)
+                    q_seed = quat_mul(quat_conj(q_b), lr.q_old)
                     armed = self.vio.set_relo(
-                        np.asarray(w_ids)[mm], np.asarray(obs_old)[mm],
-                        self.db.p_vio[cand], self.db.q_vio[cand],
+                        np.asarray(w_ids)[mm], np.asarray(lr.obs_old)[mm],
+                        p_seed, q_seed,
                     )
                     if armed:
                         self._pending_relo = (k, cand)
