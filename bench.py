@@ -1,12 +1,22 @@
 #!/usr/bin/env python
-"""Benchmark: tracking + sliding-window BA frames/s on one TPU chip.
+"""Benchmark: VPLines-SLAM-TPU on one chip.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, "extra": {...}}
 
 Baseline: the reference is designed for 10 Hz real-time operation
 (front-end FREQ=10, euroc_config.yaml:48; solver budget 40 ms + front-end
 => ~10 fps end-to-end on its desktop CPU).  vs_baseline = fps / 10.
+
+Metrics (extra dict):
+  points_fps       150-pt KLT front-end + 11-frame points BA (r01 headline)
+  lines_fps        EDLine detect + anchor-KLT match + VP detect + BA with
+                   point+line+VP factors (the system's namesake feature)
+  system_fps       SlamSystem.add_image end-to-end steady state: both
+                   front-ends + VIO + keyframe/BRIEF + loop-closure retrieval
+  frontend_ms_xla / frontend_ms_pallas   KLT level timing both paths
+  ba_mfu_pct       estimated MXU utilisation of the BA step (XLA cost
+                   analysis FLOPs / wall time / assumed 49 TFLOP/s f32 peak)
 """
 
 import json
@@ -17,31 +27,67 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_FPS = 10.0
+PEAK_F32_FLOPS = 49e12  # v5e MXU f32 (197 TFLOPs bf16 / 4-ish); stated assumption
 
 
-def main():
+def timeit(fn, n=20):
+    """Time fn(i) -> small-readback-able pytree over n CHAINED calls.
+
+    Two remote-backend traps this avoids (measured on the axon tunnel):
+    - identical (executable, args) dispatches are MEMOIZED server-side, so
+      fn must produce distinct work per i (chain state or pre-built inputs);
+    - block_until_ready does not synchronize; only a host readback does, so
+      one pre-warmed scalar fetch closes the timing region.
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from vplines_slam_tpu.estimator import window as win_mod
-    from vplines_slam_tpu.ops import corners as corners_mod
-    from vplines_slam_tpu.ops import klt as klt_mod
-    from vplines_slam_tpu.utils import demo
+    def readback(r):
+        leaf = jax.tree_util.tree_leaves(r)[0]
+        return np.asarray(jax.device_get(leaf)).ravel()[:1]
 
-    dtype = jnp.float32
+    r = fn(0)
+    readback(r)  # warm compile + readback path
+    t0 = time.time()
+    for i in range(1, n + 1):
+        r = fn(i)
+    readback(r)
+    return (time.time() - t0) / n
 
-    # ---- stage 1: front-end tracking (KLT 150 pts @ 752x480 + top-up) -----
-    rng = np.random.default_rng(0)
-    H, W = 480, 752
+
+def make_texture(rng, H, W, grid=True):
+    """Multi-octave texture; optional dark grid lines (line-rich world)."""
+    import numpy as np
+
     img = np.zeros((H, W), np.float32)
     for o in range(5):
         l = rng.standard_normal((H // (2**o) + 1, W // (2**o) + 1))
         img += np.kron(l, np.ones((2**o, 2**o)))[:H, :W] / (o + 1)
     img = (img - img.min()) / (img.max() - img.min())
-    img0 = jnp.asarray(img, dtype)
-    from vplines_slam_tpu.ops.image import bilinear_sample, gaussian_blur
+    img = 0.25 + 0.5 * img
+    if grid:
+        for y in range(40, H, 96):
+            img[y : y + 3, :] *= 0.25
+        for x in range(40, W, 112):
+            img[:, x : x + 3] *= 0.25
+    return img
 
+
+def bench_points(jnp, jax):
+    """r01 headline: KLT frontend + points-only window BA."""
+    import numpy as np
+
+    from vplines_slam_tpu.estimator import window as win_mod
+    from vplines_slam_tpu.ops import corners as corners_mod
+    from vplines_slam_tpu.ops import klt as klt_mod
+    from vplines_slam_tpu.ops.image import bilinear_sample, gaussian_blur
+    from vplines_slam_tpu.utils import demo
+
+    dtype = jnp.float32
+    rng = np.random.default_rng(0)
+    H, W = 480, 752
+    img0 = jnp.asarray(make_texture(rng, H, W, grid=False), dtype)
     img0 = gaussian_blur(img0, 5, 1.0)
     yy, xx = jnp.meshgrid(
         jnp.arange(H, dtype=dtype), jnp.arange(W, dtype=dtype), indexing="ij"
@@ -49,17 +95,33 @@ def main():
     img1 = bilinear_sample(img0, jnp.stack([xx + 2.3, yy - 1.7], -1))
     pts = jnp.asarray(rng.uniform([30, 30], [W - 30, H - 30], size=(150, 2)), dtype)
 
-    kcfg = klt_mod.KLTConfig(win=21, levels=3, iters=10)
+    def make_frontend(use_pallas):
+        kcfg = klt_mod.KLTConfig(win=21, levels=3, iters=10, use_pallas=use_pallas)
 
-    @jax.jit
-    def frontend(img0, img1, pts):
-        pts1, ok, _ = klt_mod.track(img0, img1, pts, kcfg)
-        xy, score, valid = corners_mod.detect(
-            img1, max_corners=64, min_dist=30, existing_xy=pts1, existing_mask=ok
-        )
-        return pts1, ok, xy, valid
+        @jax.jit
+        def frontend(img0, img1, pts):
+            pts1, ok, _ = klt_mod.track(img0, img1, pts, kcfg)
+            xy, score, valid = corners_mod.detect(
+                img1, max_corners=64, min_dist=30, existing_xy=pts1, existing_mask=ok
+            )
+            return pts1, ok, xy, valid
 
-    # ---- stage 2: sliding-window BA ---------------------------------------
+        return frontend
+
+    # distinct inputs per timed call (remote backends memoize identical work)
+    base = np.asarray(pts)
+    ptss = [jnp.asarray(base + i * 1e-3, dtype) for i in range(44)]
+
+    fe_xla = make_frontend(False)
+    t_fe = timeit(lambda i: fe_xla(img0, img1, ptss[i]))
+    t_fe_pallas = None
+    try:
+        fe_p = make_frontend(True)
+        t_fe_pallas = timeit(lambda i: fe_p(img0, img1, ptss[i]))
+    except Exception as e:  # pragma: no cover
+        print(f"pallas frontend unavailable: {e}", file=sys.stderr)
+    frontend = fe_xla if (t_fe_pallas is None or t_fe <= t_fe_pallas) else fe_p
+
     cfg = win_mod.WindowConfig(max_points=128, max_lines=16, max_imu=32)
     state, data, params = demo.synthetic_window(
         cfg, dtype=dtype, n_landmarks=300, imu_per_interval=20, perturb=0.01
@@ -67,50 +129,319 @@ def main():
 
     @jax.jit
     def ba_step(state, data):
-        state2, data2, out = win_mod.solve_window(
-            state, data, cfg, params, num_iters=8
-        )
-        return state2, data2, out.cost
+        s2, d2, out = win_mod.solve_window(state, data, cfg, params, num_iters=8)
+        return s2, d2, out.cost
 
-    # ---- warmup (compile) --------------------------------------------------
-    r = frontend(img0, img1, pts)
-    jax.block_until_ready(r)
-    s2, d2, c = ba_step(state, data)
-    jax.block_until_ready(c)
+    carry = {"s": state, "d": data}
 
-    # ---- per-stage timing (stderr) ----------------------------------------
-    n_frames = 30
-    t0 = time.time()
-    for _ in range(n_frames):
-        r = frontend(img0, img1, pts)
-    jax.block_until_ready(r)
-    t_fe = (time.time() - t0) / n_frames
-    t0 = time.time()
-    for _ in range(n_frames):
-        s2, d2, c = ba_step(state, data)
-    jax.block_until_ready(c)
-    t_ba = (time.time() - t0) / n_frames
+    def ba_fn(i):  # chained: every call works on the previous output
+        s2, d2, c = ba_step(carry["s"], carry["d"])
+        carry["s"], carry["d"] = s2, d2
+        return c
+
+    t_ba = timeit(ba_fn)
+
+    # MFU estimate from XLA's own FLOP count
+    ba_mfu = None
+    try:
+        cost = ba_step.lower(state, data).compile().cost_analysis()
+        if cost and "flops" in cost:
+            ba_mfu = 100.0 * float(cost["flops"]) / t_ba / PEAK_F32_FLOPS
+    except Exception as e:  # pragma: no cover
+        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
+
+    def frame(i):
+        r = frontend(img0, img1, ptss[i])
+        s2, d2, c = ba_step(carry["s"], carry["d"])
+        carry["s"], carry["d"] = s2, d2
+        return c
+
+    fps = 1.0 / timeit(frame)
     print(
-        f"stage timing: frontend {t_fe*1e3:.1f} ms, BA {t_ba*1e3:.1f} ms",
+        f"points: frontend XLA {t_fe*1e3:.1f} ms"
+        + (f", pallas {t_fe_pallas*1e3:.1f} ms" if t_fe_pallas else "")
+        + f", BA {t_ba*1e3:.1f} ms -> {fps:.1f} fps",
         file=sys.stderr,
     )
+    return {
+        "points_fps": round(fps, 2),
+        "frontend_ms_xla": round(t_fe * 1e3, 2),
+        "frontend_ms_pallas": round(t_fe_pallas * 1e3, 2) if t_fe_pallas else None,
+        "ba_ms": round(t_ba * 1e3, 2),
+        "ba_mfu_pct": round(ba_mfu, 3) if ba_mfu else None,
+    }
 
-    # ---- timed loop --------------------------------------------------------
-    t0 = time.time()
-    for _ in range(n_frames):
-        r = frontend(img0, img1, pts)
-        s2, d2, c = ba_step(state, data)
-    jax.block_until_ready((r, c))
-    wall = time.time() - t0
-    fps = n_frames / wall
 
+def bench_lines(jnp, jax):
+    """Lines-on: EDLine + match + VP front-end and BA with line/VP factors."""
+    import numpy as np
+
+    from vplines_slam_tpu.estimator import window as win_mod
+    from vplines_slam_tpu.models import camera as cam_mod
+    from vplines_slam_tpu.models import line_tracker as lt_mod
+    from vplines_slam_tpu.ops.image import bilinear_sample, gaussian_blur
+    from vplines_slam_tpu.utils import demo
+
+    dtype = jnp.float32
+    rng = np.random.default_rng(1)
+    H, W = 480, 752
+    cam = cam_mod.pinhole(460.0, 460.0, W / 2, H / 2, width=W, height=H)
+    fe = lt_mod.LineTrackerFrontend(
+        cam, lt_mod.LineTrackerConfig(max_lines=64), dtype=dtype
+    )
+    img0 = jnp.asarray(make_texture(rng, H, W, grid=True), dtype)
+    img0 = gaussian_blur(img0, 5, 0.8)
+    yy, xx = jnp.meshgrid(
+        jnp.arange(H, dtype=dtype), jnp.arange(W, dtype=dtype), indexing="ij"
+    )
+    img1 = bilinear_sample(img0, jnp.stack([xx + 2.0, yy - 1.5], -1))
+
+    # warm up; the tracker state evolves every call so work is distinct
+    fe.process(0.0, img0)
+    fe.process(0.1, img1)
+
+    def lf_step(i):
+        out = fe.process(0.2 + 0.1 * i, img1 if i % 2 else img0)
+        return out.endpoints
+
+    t_lf = timeit(lf_step)
+
+    cfg = win_mod.WindowConfig(max_points=128, max_lines=32, max_imu=32)
+    state, data, params = demo.synthetic_window(
+        cfg, dtype=dtype, n_landmarks=300, imu_per_interval=20,
+        perturb=0.01, n_lines=40,
+    )
+
+    @jax.jit
+    def ba_step(state, data):
+        s2, d2, out = win_mod.solve_window(state, data, cfg, params, num_iters=8)
+        return s2, d2, out.cost
+
+    carry = {"s": state, "d": data}
+
+    def ba_fn(i):
+        s2, d2, c = ba_step(carry["s"], carry["d"])
+        carry["s"], carry["d"] = s2, d2
+        return c
+
+    t_ba = timeit(ba_fn)
+
+    def frame(i):
+        e = lf_step(i)
+        c = ba_fn(i)
+        return c
+
+    fps = 1.0 / timeit(frame)
+    print(
+        f"lines: frontend {t_lf*1e3:.1f} ms, BA(pts+lines+VP) {t_ba*1e3:.1f} ms"
+        f" -> {fps:.1f} fps",
+        file=sys.stderr,
+    )
+    return {
+        "lines_fps": round(fps, 2),
+        "line_frontend_ms": round(t_lf * 1e3, 2),
+        "ba_lines_ms": round(t_ba * 1e3, 2),
+    }
+
+
+def bench_system(jnp, jax):
+    """SlamSystem.add_image end-to-end steady state (blob-world render),
+    loop closure active: measures the HOST LOOP latency including keyframe
+    BRIEF extraction, retrieval and drift correction — the path the round-1
+    verdict flagged for per-call retraces."""
+    import numpy as np
+
+    from vplines_slam_tpu.estimator.window import WindowConfig
+    from vplines_slam_tpu.models import camera as cam_mod
+    from vplines_slam_tpu.models import pose_graph as pg_mod
+    from vplines_slam_tpu.models.feature_tracker import TrackerConfig
+    from vplines_slam_tpu.pipeline.system import SlamSystem
+    from vplines_slam_tpu.utils import geometry as geo
+    from vplines_slam_tpu.utils import synthetic as syn
+
+    dtype = jnp.float32
+    H, W = 480, 752
+    CAM = cam_mod.pinhole(460.0, 460.0, W / 2, H / 2, width=W, height=H)
+    R_BC = jnp.asarray([[0.0, 0.0, 1.0], [-1.0, 0.0, 0.0], [0.0, -1.0, 0.0]], dtype)
+    Q_IC = geo.rot_to_quat(R_BC)
+    P_IC = jnp.asarray([0.02, 0.0, 0.01], dtype)
+
+    rng = np.random.default_rng(3)
+    traj = syn.figure8_trajectory(radius=1.2, ypr_amp=(12.0, 5.0, 4.0))
+    n_pts = 700
+    X = jnp.asarray(
+        np.asarray(syn.scatter_landmarks(n_pts, seed=4, box=((-4, 4), (-4, 4), (-1, 2.5)))),
+        dtype,
+    )
+    brightness = jnp.asarray(rng.uniform(0.35, 0.9, n_pts), dtype)
+    bg = jnp.asarray(make_texture(rng, H, W, grid=False) * 0.03, dtype)
+
+    def render_frame(q_wb, p_wb):
+        q_cw, p_cw = geo.pose_inverse(*geo.pose_compose(q_wb, p_wb, Q_IC, P_IC))
+        Xc = jax.vmap(lambda x: geo.transform_point(q_cw, p_cw, x))(X)
+        uv, _ = cam_mod.project(CAM, Xc)
+        vis = (
+            (Xc[:, 2] > 0.5)
+            & (uv[:, 0] > 5) & (uv[:, 0] < W - 5)
+            & (uv[:, 1] > 5) & (uv[:, 1] < H - 5)
+        )
+        yy, xx = jnp.meshgrid(
+            jnp.arange(H, dtype=dtype), jnp.arange(W, dtype=dtype), indexing="ij"
+        )
+
+        def blob(k, im):
+            d2 = (xx - uv[k, 0]) ** 2 + (yy - uv[k, 1]) ** 2
+            return im + vis[k] * brightness[k] * jnp.exp(-d2 / 4.5)
+
+        return jnp.clip(jax.lax.fori_loop(0, n_pts, blob, bg), 0.0, 1.0)
+
+    render = jax.jit(render_frame)
+
+    duration, frame_hz, imu_hz = 16.0, 10, 200
+    frame_times = np.arange(0.0, duration, 1.0 / frame_hz)
+    imu_times = np.arange(0.0, duration + 1e-9, 1.0 / imu_hz)
+    accs, gyrs = syn.imu_samples(traj, jnp.asarray(imu_times))
+    accs, gyrs = np.asarray(accs), np.asarray(gyrs)
+
+    # pre-render all frames (rendering is not part of the measured loop)
+    frames = []
+    for ft in frame_times:
+        frames.append(render(traj.quat(ft).astype(dtype), traj.pos(ft).astype(dtype)))
+    jax.block_until_ready(frames[-1])
+
+    sys_ = SlamSystem(
+        CAM,
+        window_cfg=WindowConfig(max_points=96, max_lines=8, max_imu=32,
+                                init_min_corres=12),
+        tracker_cfg=TrackerConfig(max_features=96, min_dist=12, equalize=False,
+                                  quality=0.003),
+        pg_cfg=pg_mod.PoseGraphConfig(max_keyframes=128, n_features=128,
+                                      n_window_pts=48),
+        q_ic=Q_IC, p_ic=P_IC, dtype=dtype,
+    )
+
+    # phase 1+2a: host loop (latency metric) over the first 2/3 of frames
+    n_host = 2 * len(frame_times) // 3
+    imu_idx = 0
+    lat = []
+    n_out = 0
+    for fi in range(n_host):
+        ft = frame_times[fi]
+        while imu_idx < len(imu_times) and imu_times[imu_idx] <= ft + 1e-9:
+            sys_.add_imu(imu_times[imu_idx], accs[imu_idx], gyrs[imu_idx])
+            imu_idx += 1
+        t0 = time.time()
+        out = sys_.add_image(ft, frames[fi])
+        if out is not None:
+            n_out += 1
+        dt_host = time.time() - t0
+        if out is not None and n_out > 5:  # steady state only
+            lat.append(dt_host)
+    res = {}
+    if not lat:
+        print("system bench: VIO never initialized", file=sys.stderr)
+        return {"system_fps": None}
+    med = float(np.median(lat))
+    fps = 1.0 / med
+    print(
+        f"system: {len(lat)} steady host frames, median {med*1e3:.1f} ms -> "
+        f"{fps:.1f} fps (init at frame {n_host - n_out})",
+        file=sys.stderr,
+    )
+    res.update(
+        {"system_fps": round(fps, 2), "system_median_ms": round(med * 1e3, 2)}
+    )
+
+    # phase 2b: device-resident scan over the remaining frames (throughput
+    # mode: one jitted lax.scan, zero host round-trips inside the loop)
+    try:
+        from vplines_slam_tpu.pipeline.device_loop import make_device_loop
+
+        eng = sys_.vio
+        T = len(frame_times) - n_host
+        batches, keys = [], []
+        key = jax.random.PRNGKey(11)
+        for fi in range(n_host, len(frame_times)):
+            ft = frame_times[fi]
+            while imu_idx < len(imu_times) and imu_times[imu_idx] <= ft + 1e-9:
+                sys_.add_imu(imu_times[imu_idx], accs[imu_idx], gyrs[imu_idx])
+                imu_idx += 1
+            batches.append(eng._pack_imu(float(ft)))
+            key, k = jax.random.split(key)
+            keys.append(k)
+        imu_stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
+        imgs_dev = jnp.stack(frames[n_host:])
+        dts = jnp.full((T,), 1.0 / frame_hz, dtype)
+        loop = make_device_loop(CAM, sys_.frontend.cfg, eng.cfg, eng.params)
+        carry0 = loop.init_carry(sys_.frontend.state, eng.state, eng.data)
+        # warm compile, then time a fresh run from the same carry
+        c1, outs = loop.run(carry0, imgs_dev, imu_stacked, dts, jnp.stack(keys))
+        _ = np.asarray(outs[0][-1])
+        t0 = time.time()
+        c2, outs = loop.run(
+            carry0, imgs_dev, imu_stacked, dts,
+            jax.random.split(jax.random.PRNGKey(12), T),  # distinct work
+        )
+        _ = np.asarray(outs[0][-1])
+        wall = time.time() - t0
+        dl_fps = T / wall
+        print(
+            f"device loop: {T} frames in {wall*1e3:.0f} ms -> {dl_fps:.1f} fps",
+            file=sys.stderr,
+        )
+        res["device_loop_fps"] = round(dl_fps, 2)
+    except Exception:
+        import traceback
+
+        traceback.print_exc()
+    return res
+
+
+def main():
+    import jax
+
+    # persistent compile cache: first-ever run pays tunnel compiles (~min);
+    # subsequent runs (e.g. the driver's) start warm
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+
+    extra = {}
+    t_start = time.time()
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "480"))
+    for fn in (bench_points, bench_lines, bench_system):
+        if time.time() - t_start > budget_s:
+            print(f"budget exhausted, skipping {fn.__name__}", file=sys.stderr)
+            continue
+        try:
+            extra.update(fn(jnp, jax))
+        except Exception as e:  # keep the bench robust: report what ran
+            import traceback
+
+            traceback.print_exc()
+            print(f"{fn.__name__} failed: {e}", file=sys.stderr)
+
+    headline = (
+        extra.get("device_loop_fps")
+        or extra.get("system_fps")
+        or extra.get("points_fps")
+        or 0.0
+    )
     print(
         json.dumps(
             {
-                "metric": "tracking+BA frames/s (1 chip, 150 pts KLT + 11-frame window BA 8 LM iters)",
-                "value": round(fps, 2),
+                "metric": (
+                    "device-resident pipeline frames/s (1 chip, 752x480 images"
+                    "+IMU -> poses in one jitted scan: KLT front-end + window "
+                    "BA + marginalization; extra: host-loop/points/lines/MFU)"
+                ),
+                "value": headline,
                 "unit": "frames/s",
-                "vs_baseline": round(fps / BASELINE_FPS, 2),
+                "vs_baseline": round(headline / BASELINE_FPS, 2),
+                "extra": extra,
             }
         )
     )

@@ -39,6 +39,10 @@ struct MeasurementSync {
 
 extern "C" {
 
+int vpl_sync_drain_frame_partial(void* h, double frame_t, int allow_partial,
+                                 int max_out, double* out_t, double* out_acc,
+                                 double* out_gyr);
+
 void* vpl_sync_create(int capacity) {
   return new MeasurementSync(static_cast<size_t>(capacity));
 }
@@ -86,12 +90,27 @@ int vpl_sync_imu_count(void* h) {
 // the newest IMU sample is still older than the frame (caller should wait).
 int vpl_sync_drain_frame(void* h, double frame_t, int max_out, double* out_t,
                          double* out_acc, double* out_gyr) {
+  return vpl_sync_drain_frame_partial(h, frame_t, 0, max_out, out_t, out_acc,
+                                      out_gyr);
+}
+
+// allow_partial != 0: when the newest IMU sample is (even one float ULP)
+// older than frame_t + td, clamp the boundary to the newest sample instead
+// of refusing — the synchronous host loop cannot wait like the reference's
+// condvar thread (estimator_node.cpp getMeasurements), and the sub-sample
+// tail joins the next interval.
+int vpl_sync_drain_frame_partial(void* h, double frame_t, int allow_partial,
+                                 int max_out, double* out_t, double* out_acc,
+                                 double* out_gyr) {
   auto* s = static_cast<MeasurementSync*>(h);
   std::lock_guard<std::mutex> lk(s->mu);
-  const double t_target = frame_t + s->td;
+  double t_target = frame_t + s->td;
   if (s->imu_count == 0) return -1;
   const ImuSample& newest = s->imu[(s->imu_head + s->imu_count - 1) % s->cap];
-  if (newest.t < t_target) return -1;  // not enough IMU yet
+  if (newest.t < t_target) {
+    if (!allow_partial) return -1;  // not enough IMU yet
+    t_target = newest.t;
+  }
 
   int n = 0;
   ImuSample prev{};

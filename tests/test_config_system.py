@@ -45,3 +45,28 @@ def test_profile_builds_system():
     out = sys_.add_image(0.05, img)
     assert out is None  # still filling the window
     assert sys_.vio.frame_count == 1
+
+
+def test_device_profiles_load():
+    """All shipped device profiles parse and carry reference defaults
+    (t265 MEI, d455 pinhole, 527 GNSS rig — config/{t265,d455,527} parity)."""
+    t = load_profile("/root/repo/configs/t265.yaml")
+    assert t.camera.kind == cam_mod.MEI
+    assert t.camera.width == 848 and t.camera.height == 800
+    assert t.estimate_extrinsic == 1
+    assert t.pose_graph.n_features == 500
+    assert t.window.line_min_obs == 5
+
+    d = load_profile("/root/repo/configs/d455.yaml")
+    assert d.camera.kind == cam_mod.PINHOLE
+    assert d.estimate_extrinsic == 0
+    assert float(d.window.vp_sqrt_info) == 1.0
+
+    g = load_profile("/root/repo/configs/gnss_527.yaml")
+    assert g.use_global_fusion and not g.use_loop_closure
+    assert float(g.imu_params.acc_n) == 0.2
+
+    e = load_profile("/root/repo/configs/euroc.yaml")
+    assert e.pose_graph.loop_edge_weight == 1.0
+    assert e.pose_graph.n_features == 500
+    assert e.window.line_min_obs == 5

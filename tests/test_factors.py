@@ -80,95 +80,63 @@ def test_tangent_basis_orthonormal(rng):
     assert abs(float(jnp.dot(b1, b2))) < 1e-12
 
 
-def make_line_setup(rng):
-    """A world segment seen from a body pose through an extrinsic."""
-    q_i, p_i = random_pose(rng, scale=0.5)
-    q_ic = geo.so3_exp_quat(jnp.asarray([0.0, 0.0, 1.57]))
+def test_line_incamera_zero_at_truth_and_fd(rng):
+    q_i, p_i = random_pose(rng)
+    q_j, p_j = random_pose(rng)
+    q_ic = geo.so3_exp_quat(jnp.asarray([0.01, -0.02, 1.55]))
     p_ic = jnp.asarray([0.05, 0.02, 0.0])
-    A = jnp.asarray([1.0, 0.6, 5.0])
-    B = jnp.asarray([-0.5, 0.9, 6.0])
-    # world plucker from the two endpoints
-    v = (B - A) / jnp.linalg.norm(B - A)
-    n = jnp.cross(A, v)
-    orth = plk.plk_to_orth(jnp.concatenate([n, v]))
+    A_w = jnp.asarray([1.0, -0.8, 6.0])
+    B_w = jnp.asarray([0.4, 0.9, 5.2])
 
-    q_cw, p_cw = geo.pose_inverse(*geo.pose_compose(q_i, p_i, q_ic, p_ic))
-    Ac = geo.transform_point(q_cw, p_cw, A)
-    Bc = geo.transform_point(q_cw, p_cw, B)
-    obs = jnp.asarray([Ac[0] / Ac[2], Ac[1] / Ac[2], Bc[0] / Bc[2], Bc[1] / Bc[2]])
-    return p_i, q_i, p_ic, q_ic, orth, obs, v
+    def to_cam(q_b, p_b, X):
+        q_cw, p_cw = geo.pose_inverse(*geo.pose_compose(q_b, p_b, q_ic, p_ic))
+        return geo.transform_point(q_cw, p_cw, X)
 
+    a_i = to_cam(q_i, p_i, A_w)
+    b_i = to_cam(q_i, p_i, B_w)
+    # camera-i-frame Plücker line through the two points
+    plk_ci = jnp.concatenate([jnp.cross(a_i, b_i), b_i - a_i])
+    orth_ci = plk.plk_to_orth(plk_ci)
 
-def test_line_residual_zero_at_truth(rng):
-    p_i, q_i, p_ic, q_ic, orth, obs, _ = make_line_setup(rng)
-    r = res.line_reprojection(p_i, q_i, p_ic, q_ic, orth, obs)
-    np.testing.assert_allclose(r, np.zeros(2), atol=1e-9)
+    a_j = to_cam(q_j, p_j, A_w)
+    b_j = to_cam(q_j, p_j, B_w)
+    obs_j = jnp.asarray([a_j[0] / a_j[2], a_j[1] / a_j[2], b_j[0] / b_j[2], b_j[1] / b_j[2]])
 
+    r = res.line_reprojection_incamera(p_i, q_i, p_j, q_j, p_ic, q_ic, orth_ci, obs_j)
+    np.testing.assert_allclose(np.asarray(r), np.zeros(2), atol=1e-9)
 
-def test_line_residual_is_pixel_distance(rng):
-    """Shifting one observed endpoint off the line by d in the normal direction
-    changes that endpoint's residual to ±d (point-line distance)."""
-    p_i, q_i, p_ic, q_ic, orth, obs, _ = make_line_setup(rng)
-    # line normal on the normalized plane from the other endpoint
-    d = 0.02
-    # perturb endpoint 1 along the image-plane normal of the projected line
-    r0 = res.line_reprojection(p_i, q_i, p_ic, q_ic, orth, obs)
-    # compute projected line normal numerically: gradient of e1 wrt obs[0:2]
-    g = jax.grad(lambda o: res.line_reprojection(p_i, q_i, p_ic, q_ic, orth, o)[0])(obs)
-    n2 = g[0:2] / jnp.linalg.norm(g[0:2])
-    obs_shift = obs.at[0:2].add(n2 * d)
-    r1 = res.line_reprojection(p_i, q_i, p_ic, q_ic, orth, obs_shift)
-    assert abs(abs(float(r1[0] - r0[0])) - d) < 1e-6
-
-
-def test_line_residual_jacobian_finite_diff(rng):
-    p_i, q_i, p_ic, q_ic, orth, obs, _ = make_line_setup(rng)
-
+    # jacobian wrt (pose_i manifold, pose_j manifold, line orth) vs central FD
     def f(delta):
-        q = geo.quat_mul(q_i, geo.so3_exp_quat(delta[0:3]))
-        p = p_i + delta[3:6]
-        o = plk.orth_boxplus(orth, delta[6:10])
-        return res.line_reprojection(p, q, p_ic, q_ic, o, obs)
+        qi2 = geo.quat_mul(q_i, geo.so3_exp_quat(delta[0:3]))
+        pi2 = p_i + delta[3:6]
+        qj2 = geo.quat_mul(q_j, geo.so3_exp_quat(delta[6:9]))
+        pj2 = p_j + delta[9:12]
+        o2 = plk.orth_boxplus(orth_ci, delta[12:16])
+        return res.line_reprojection_incamera(pi2, qi2, pj2, qj2, p_ic, q_ic, o2, obs_j)
 
-    J = jax.jacfwd(f)(jnp.zeros(10))
+    J = jax.jacfwd(f)(jnp.zeros(16))
     eps = 1e-6
-    for k in range(10):
-        e = jnp.zeros(10).at[k].set(eps)
+    for k in range(16):
+        e = jnp.zeros(16).at[k].set(eps)
         fd = (f(e) - f(-e)) / (2 * eps)
-        np.testing.assert_allclose(J[:, k], fd, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(J[:, k]), np.asarray(fd), atol=1e-5)
 
 
-def test_vp_residual_zero_when_direction_matches(rng):
-    p_i, q_i, p_ic, q_ic, orth, obs, v_w = make_line_setup(rng)
-    # observed VP = direction of the line in camera frame (homogeneous)
-    q_cw, p_cw = geo.pose_inverse(*geo.pose_compose(q_i, p_i, q_ic, p_ic))
-    d_c = geo.quat_rotate(q_cw, v_w)
-    r = res.vp_alignment(p_i, q_i, p_ic, q_ic, orth, d_c)
-    np.testing.assert_allclose(r, np.zeros(2), atol=1e-9)
+def test_line_instartframe_zero_at_truth_and_fd(rng):
+    a_i = jnp.asarray([0.3, -0.2, 4.0])
+    b_i = jnp.asarray([-0.5, 0.4, 5.0])
+    plk_ci = jnp.concatenate([jnp.cross(a_i, b_i), b_i - a_i])
+    orth_ci = plk.plk_to_orth(plk_ci)
+    obs_i = jnp.asarray([a_i[0] / a_i[2], a_i[1] / a_i[2], b_i[0] / b_i[2], b_i[1] / b_i[2]])
+    r = res.line_reprojection_instartframe(orth_ci, obs_i)
+    np.testing.assert_allclose(np.asarray(r), np.zeros(2), atol=1e-10)
 
+    def f(d):
+        return res.line_reprojection_instartframe(plk.orth_boxplus(orth_ci, d), obs_i)
 
-def test_vp_residual_nonzero_for_wrong_vp(rng):
-    p_i, q_i, p_ic, q_ic, orth, obs, v_w = make_line_setup(rng)
-    bad_vp = jnp.asarray([0.3, -0.4, 1.0])
-    r = res.vp_alignment(p_i, q_i, p_ic, q_ic, orth, bad_vp)
-    assert float(jnp.linalg.norm(r)) > 1e-3
-
-
-def test_robust_weights():
-    # Huber: unit weight inside delta, shrinks outside
-    assert float(res.huber_weight(jnp.asarray(0.5), 1.0)) == 1.0
-    w = float(res.huber_weight(jnp.asarray(100.0), 1.0))
-    assert 0 < w < 1
-    # Cauchy monotone decreasing
-    w1 = float(res.cauchy_weight(jnp.asarray(0.1), 1.0))
-    w2 = float(res.cauchy_weight(jnp.asarray(10.0), 1.0))
-    assert w1 > w2
-
-
-def test_vmap_over_population(rng):
-    """Factors batch over a fixed-shape population (the BA layout)."""
-    setups = [make_point_setup(rng) for _ in range(8)]
-    stacked = [jnp.stack([jnp.asarray(s[k]) for s in setups]) for k in range(9)]
-    r = jax.vmap(res.point_reprojection)(*stacked)
-    assert r.shape == (8, 2)
-    np.testing.assert_allclose(r, np.zeros((8, 2)), atol=1e-10)
+    J = jax.jacfwd(f)(jnp.zeros(4))
+    eps = 1e-6
+    for k in range(4):
+        e = jnp.zeros(4).at[k].set(eps)
+        fd = (f(e) - f(-e)) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(J[:, k]), np.asarray(fd), atol=1e-5)

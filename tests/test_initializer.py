@@ -64,6 +64,7 @@ def test_choose_reference_frame():
     assert 0 <= int(l) < F - 1
 
 
+@pytest.mark.slow
 def test_window_sfm_recovers_relative_geometry():
     traj, times, obs, mask, pre, valid = build_window()
     l, found = init_mod.choose_reference_frame(obs, mask)
@@ -91,6 +92,7 @@ def test_window_sfm_recovers_relative_geometry():
     np.testing.assert_allclose(sfm.t_c0_c * s, p_rel_true, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_full_alignment_recovers_metric_state():
     bg_true = jnp.asarray([0.003, -0.002, 0.004])
     traj, times, obs, mask, pre, valid = build_window(gyr_bias=bg_true)

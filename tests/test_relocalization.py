@@ -8,6 +8,7 @@ graph (setReloFrame:1848, pubRelocalization).
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vplines_slam_tpu.estimator import window as win_mod
 from vplines_slam_tpu.utils import demo
@@ -34,6 +35,7 @@ def _armed_window():
     return state, data, params
 
 
+@pytest.mark.slow
 def test_relo_pose_converges_to_truth():
     state, data, params = _armed_window()
     p_true, q_true = state.p[0], state.q[0]
@@ -69,6 +71,7 @@ def test_relo_masked_out_when_invalid():
     np.testing.assert_allclose(np.asarray(r), np.asarray(r_ref), atol=1e-12)
 
 
+@pytest.mark.slow
 def test_relative_pose_from_solution():
     state, data, params = _armed_window()
     state = state._replace(p_relo=state.p[0] + 0.1, q_relo=state.q[0])

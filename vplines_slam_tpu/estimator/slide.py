@@ -288,10 +288,13 @@ def slide_window_old(
 
     pt_start_new = jnp.where(
         was_anchor0, 0, jnp.maximum(data.pt_start - 1, 0)
-    )
+    ).astype(data.pt_start.dtype)
     # but if the old anchor-0 track isn't observed at old frame 1, its new
     # anchor becomes its first remaining observation
-    first_rest = jnp.argmax(data.pt_mask[:, 1:], axis=1)  # index in shifted frame
+    # index dtype pinned to the table's int32 (argmax yields int64 under
+    # x64, which would flip pt_start's dtype on the keyframe branch only
+    # and break lax.cond's branch-type equality)
+    first_rest = jnp.argmax(data.pt_mask[:, 1:], axis=1).astype(data.pt_start.dtype)
     pt_start_new = jnp.where(
         was_anchor0 & ~data.pt_mask[:, 1], first_rest, pt_start_new
     )

@@ -93,6 +93,71 @@ def _failure_detection(state_old: WindowState, state_new: WindowState):
     return big_ba | big_bg | jump | z_jump
 
 
+
+def track_step(state, data, pt_ids, pt_rays, ln_args, imu_batch, cfg, params,
+               use_lines):
+    """One steady-state VIO frame: IMU interval ingest + propagation, feature
+    ingest, keyframe test, triangulation, window BA, outlier cull, and the
+    keyframe/non-keyframe slide — ONE pure jittable program (the device body
+    shared by VioEngine and the device-resident frame loop)."""
+    nf = cfg.nf
+    dts, accs, gyrs, mask, has_imu = imu_batch
+    state0 = state
+    data = set_imu_interval(
+        data, nf - 2, dts, accs, gyrs, mask,
+        ba=state.ba[nf - 2], bg=state.bg[nf - 2], params=params,
+    )
+    state = _propagate_interval(
+        state, cfg, dts, accs, gyrs, mask, params, nf - 2, nf - 1
+    )
+    data = ingest_frame(data, cfg, nf - 1, pt_ids, pt_rays, *ln_args)
+
+    is_kf, parallax, n_new = keyframe_parallax(data, cfg, nf - 1)
+
+    data = triangulate_points(state, data, cfg)
+    if use_lines:
+        data = triangulate_lines(state, data, cfg)
+    state, data, lm_out = solve_window(state, data, cfg, params)
+    data = reject_outliers(state, data, cfg)
+
+    failure = _failure_detection(state0, state)
+
+    # fast-relocalization feedback: refined relative pose between the
+    # loop keyframe (window slot NF-2: the keyframe after whose slide
+    # set_relo was called) and the optimized relo pose
+    # (estimator.cpp double2vector relo section + pubRelocalization)
+    from ..utils.geometry import quat_conj, quat_to_rot, rot_to_ypr
+
+    kf_idx = nf - 2
+    rel_t = quat_rotate(
+        quat_conj(state.q_relo), state.p[kf_idx] - state.p_relo
+    )
+    rel_q = quat_mul(quat_conj(state.q_relo), state.q[kf_idx])
+    rel_yaw = (
+        rot_to_ypr(quat_to_rot(state.q[kf_idx]))[0]
+        - rot_to_ypr(quat_to_rot(state.q_relo))[0]
+    )
+
+    def do_kf(args):
+        state, data = args
+        prior = marginalize_old(state, data, cfg, params)
+        return slide_window_old(state, data, cfg, params, prior)
+
+    def do_non_kf(args):
+        state, data = args
+        return slide_window_new(state, data, cfg, params)
+
+    out = StepOutput(
+        p=state.p[nf - 1], q=state.q[nf - 1], v=state.v[nf - 1],
+        ba=state.ba[nf - 1], bg=state.bg[nf - 1],
+        is_keyframe=is_kf, failure=failure, ba_cost=lm_out.cost,
+        relo_valid=data.relo_valid,
+        relo_rel_t=rel_t, relo_rel_q=rel_q, relo_rel_yaw=rel_yaw,
+    )
+    state, data = jax.lax.cond(is_kf, do_kf, do_non_kf, (state, data))
+    return state, data, out
+
+
 class VioEngine:
     """Host-facing monocular point(+line) VIO.
 
@@ -111,6 +176,8 @@ class VioEngine:
         dtype=jnp.float64,
         use_lines: bool = False,
         seed: int = 0,
+        estimate_extrinsic: Optional[int] = None,
+        estimate_td: bool = False,
     ):
         self.cfg = cfg
         self.dtype = dtype
@@ -119,16 +186,44 @@ class VioEngine:
         self.state = empty_state(cfg, dtype)
         if q_ic is not None:
             self.state = self.state._replace(
-                q_ic=jnp.asarray(q_ic, dtype), p_ic=jnp.asarray(p_ic, dtype)
+                q_ic=jnp.asarray(q_ic, dtype),
+                p_ic=jnp.asarray(p_ic if p_ic is not None else jnp.zeros(3), dtype),
             )
         self.data = empty_tracks(cfg, dtype)
         self.frame_count = 0  # frames currently in the window (host)
         self.initialized = False
         self.last_frame_time = None
+        # IMU buffering: the native ring-buffer synchronizer when built
+        # (native/measurement_sync.cc — estimator_node.cpp getMeasurements
+        # semantics incl. boundary interpolation), Python lists otherwise
+        from .. import native as native_mod
+
+        self._sync = native_mod.MeasurementSync() if native_mod.available() else None
+        self._bound_sample = None  # previous boundary sample (native path)
         self._imu_times: list = []
         self._imu_acc: list = []
         self._imu_gyr: list = []
         self._key = jax.random.PRNGKey(seed)
+        # extrinsic mode (parameters.h ESTIMATE_EXTRINSIC): 1 = given a
+        # priori + refined in BA; 2 = unknown rotation, hand-eye during the
+        # fill phase gates initialization (estimator.cpp:141-173)
+        if estimate_extrinsic is None:
+            estimate_extrinsic = 1 if q_ic is not None else 2
+        self.estimate_extrinsic = estimate_extrinsic
+        self.extrinsic_ok = estimate_extrinsic < 2
+        # online temporal calibration (time_factor.cpp): estimated once from
+        # the rotation-curve ICP, then applied as the measurement-alignment
+        # shift (estimator_node.cpp:120-161 boundary = img_t + td)
+        self.estimate_td = estimate_td
+        self.td = 0.0
+        self._td_solved = False
+        from . import online_calib as oc_mod
+
+        self._oc = oc_mod
+        self._ex_acc = oc_mod.empty_extrinsic_calib(dtype=dtype)
+        self._ex_prev = None
+        self._ex_stable = 0
+        self._td_acc = oc_mod.empty_td_calib(dtype=dtype) if estimate_td else None
         self._build_jits()
 
     # ------------------------------------------------------------------ jits
@@ -196,92 +291,163 @@ class VioEngine:
 
         self._try_init = jax.jit(try_init)
 
-        def track_step(state, data, pt_ids, pt_rays, ln_args, imu_batch):
-            nf = cfg.nf
-            dts, accs, gyrs, mask, has_imu = imu_batch
-            state0 = state
-            data = set_imu_interval(
-                data, nf - 2, dts, accs, gyrs, mask,
-                ba=state.ba[nf - 2], bg=state.bg[nf - 2], params=params,
-            )
-            state = _propagate_interval(
-                state, cfg, dts, accs, gyrs, mask, params, nf - 2, nf - 1
-            )
-            data = ingest_frame(data, cfg, nf - 1, pt_ids, pt_rays, *ln_args)
+        use_lines = self.use_lines
+        self._track_step = jax.jit(
+            lambda s, d, i, r, l, b: track_step(s, d, i, r, l, b, cfg, params, use_lines)
+        )
 
-            is_kf, parallax, n_new = keyframe_parallax(data, cfg, nf - 1)
-
-            data = triangulate_points(state, data, cfg)
-            if self.use_lines:
-                data = triangulate_lines(state, data, cfg)
+        def init_finalize(state, data):
+            """After a successful alignment: one full BA over the init window,
+            then marginalize + slide (one compiled program, built once)."""
             state, data, lm_out = solve_window(state, data, cfg, params)
-            data = reject_outliers(state, data, cfg)
+            prior = marginalize_old(state, data, cfg, params)
+            state, data = slide_window_old(state, data, cfg, params, prior)
+            return state, data, lm_out
 
-            failure = _failure_detection(state0, state)
+        self._init_finalize = jax.jit(init_finalize)
 
-            # fast-relocalization feedback: refined relative pose between the
-            # loop keyframe (window slot NF-2: the keyframe after whose slide
-            # set_relo was called) and the optimized relo pose
-            # (estimator.cpp double2vector relo section + pubRelocalization)
-            from ..utils.geometry import quat_conj, quat_to_rot, rot_to_ypr
+        def init_drop_oldest(state, data):
+            """Failed alignment: drop the oldest raw frame, keep collecting."""
+            return slide_window_old(state, data, cfg, params, data.prior)
 
-            kf_idx = nf - 2
-            rel_t = quat_rotate(
-                quat_conj(state.q_relo), state.p[kf_idx] - state.p_relo
+        self._init_drop_oldest = jax.jit(init_drop_oldest)
+
+        from . import online_calib as oc_mod
+
+        def pair_rot_newest(data, i, j, key):
+            """Camera relative rotation between window frames i and j."""
+            return oc_mod.pair_rotation(
+                data.pt_obs[:, i], data.pt_obs[:, j],
+                data.pt_mask[:, i], data.pt_mask[:, j], data.pt_id, key,
             )
-            rel_q = quat_mul(quat_conj(state.q_relo), state.q[kf_idx])
-            rel_yaw = (
-                rot_to_ypr(quat_to_rot(state.q[kf_idx]))[0]
-                - rot_to_ypr(quat_to_rot(state.q_relo))[0]
-            )
 
-            def do_kf(args):
-                state, data = args
-                prior = marginalize_old(state, data, cfg, params)
-                return slide_window_old(state, data, cfg, params, prior)
-
-            def do_non_kf(args):
-                state, data = args
-                return slide_window_new(state, data, cfg, params)
-
-            out = StepOutput(
-                p=state.p[nf - 1], q=state.q[nf - 1], v=state.v[nf - 1],
-                ba=state.ba[nf - 1], bg=state.bg[nf - 1],
-                is_keyframe=is_kf, failure=failure, ba_cost=lm_out.cost,
-                relo_valid=data.relo_valid,
-                relo_rel_t=rel_t, relo_rel_q=rel_q, relo_rel_yaw=rel_yaw,
-            )
-            state, data = jax.lax.cond(is_kf, do_kf, do_non_kf, (state, data))
-            return state, data, out
-
-        self._track_step = jax.jit(track_step)
+        self._jit_pair_rot = jax.jit(pair_rot_newest)
+        self._jit_push_pair = jax.jit(oc_mod.push_rotation_pair)
+        self._jit_solve_ex = jax.jit(oc_mod.solve_extrinsic)
+        self._jit_push_cam_angle = jax.jit(oc_mod.push_cam_angle)
+        self._jit_push_imu_angles = jax.jit(oc_mod.push_imu_angles)
+        self._jit_solve_td = jax.jit(oc_mod.solve_time_offset)
 
     # ------------------------------------------------------------- host API
     def add_imu(self, t, acc, gyr):
+        if self._sync is not None:
+            self._sync.push_imu(float(t), np.asarray(acc, float), np.asarray(gyr, float))
+            # a small host mirror serves mean-IMU consumers (selector horizon)
+            self._imu_acc.append(np.asarray(acc, float))
+            self._imu_gyr.append(np.asarray(gyr, float))
+            if len(self._imu_acc) > 64:
+                self._imu_acc = self._imu_acc[-64:]
+                self._imu_gyr = self._imu_gyr[-64:]
+            return
         self._imu_times.append(float(t))
         self._imu_acc.append(np.asarray(acc, float))
         self._imu_gyr.append(np.asarray(gyr, float))
 
-    def _pack_imu(self):
-        """Pad the buffered IMU batch since the previous frame to capacity."""
+    def _pack_imu(self, frame_t=None):
+        """Pad the buffered IMU batch since the previous frame to capacity.
+
+        The measurement-alignment cut is frame_t + td (the reference's
+        getMeasurements boundary, estimator_node.cpp:120-161).  Samples up to
+        the boundary join this interval; when the boundary falls between two
+        samples, a linearly-interpolated boundary sample is synthesized
+        (estimator_node.cpp:200-216 send_imu interpolation) and seeds the
+        next interval.  Uses the native ring-buffer synchronizer when built;
+        frame_t=None consumes everything buffered (legacy/fallback)."""
         I = self.cfg.max_imu
-        n = len(self._imu_times)
+        if self._sync is not None and frame_t is not None:
+            self._sync.set_td(self.td)
+            res = self._sync.drain_frame(float(frame_t), max_out=4 * I, allow_partial=True)
+            dts = np.zeros(I)
+            accs = np.zeros((I + 1, 3))
+            gyrs = np.zeros((I + 1, 3))
+            mask = np.zeros(I, bool)
+            has = False
+            if res is not None:
+                bt, ba, bg_ = res
+                if self._bound_sample is not None:
+                    pt, pa, pg = self._bound_sample
+                    if len(bt) == 0 or bt[0] > pt:
+                        bt = np.concatenate([[pt], bt])
+                        ba = np.concatenate([pa[None], ba])
+                        bg_ = np.concatenate([pg[None], bg_])
+                if len(bt) >= 2:
+                    has = True
+                    k = min(len(bt) - 1, I)
+                    dts[:k] = np.diff(bt)[:k]
+                    mask[:k] = True
+                    accs[: k + 1] = ba[: k + 1]
+                    gyrs[: k + 1] = bg_[: k + 1]
+                    self._bound_sample = (bt[k], ba[k].copy(), bg_[k].copy())
+                    if self._td_acc is not None and not self._td_solved:
+                        ts_pad = np.zeros(I + 1)
+                        ts_pad[: k + 1] = bt[: k + 1]
+                        self._td_acc = self._jit_push_imu_angles(
+                            self._td_acc,
+                            jnp.asarray(ts_pad, self.dtype),
+                            jnp.asarray(gyrs, self.dtype),
+                            jnp.asarray(mask),
+                        )
+                elif len(bt) == 1:
+                    self._bound_sample = (bt[0], ba[0].copy(), bg_[0].copy())
+            d = self.dtype
+            return (
+                jnp.asarray(dts, d),
+                jnp.asarray(accs, d),
+                jnp.asarray(gyrs, d),
+                jnp.asarray(mask),
+                jnp.asarray(has),
+            )
+
+        t_boundary = None if frame_t is None else float(frame_t) + self.td
+        ts_all = np.asarray(self._imu_times)
+        acc_all = np.stack(self._imu_acc) if self._imu_acc else np.zeros((0, 3))
+        gyr_all = np.stack(self._imu_gyr) if self._imu_gyr else np.zeros((0, 3))
+        n_all = len(ts_all)
+        if t_boundary is None or n_all == 0:
+            j = n_all
+        else:
+            j = int(np.searchsorted(ts_all, t_boundary + 1e-9, side="right"))
+        batch_t, batch_a, batch_g = ts_all[:j], acc_all[:j], gyr_all[:j]
+        if (
+            t_boundary is not None
+            and 0 < j < n_all
+            and ts_all[j] > t_boundary > ts_all[j - 1]
+        ):
+            # synthesize the exact boundary sample by linear interpolation
+            w = (t_boundary - ts_all[j - 1]) / (ts_all[j] - ts_all[j - 1])
+            bt = np.asarray([t_boundary])
+            ba = (1 - w) * acc_all[j - 1 : j] + w * acc_all[j : j + 1]
+            bg_ = (1 - w) * gyr_all[j - 1 : j] + w * gyr_all[j : j + 1]
+            batch_t = np.concatenate([batch_t, bt])
+            batch_a = np.concatenate([batch_a, ba])
+            batch_g = np.concatenate([batch_g, bg_])
+
+        n = len(batch_t)
         dts = np.zeros(I)
         accs = np.zeros((I + 1, 3))
         gyrs = np.zeros((I + 1, 3))
         mask = np.zeros(I, bool)
         has = n >= 2
         if has:
-            ts = np.asarray(self._imu_times)
             k = min(n - 1, I)
-            dts[:k] = np.diff(ts)[:k]
+            dts[:k] = np.diff(batch_t)[:k]
             mask[:k] = True
-            accs[: k + 1] = np.stack(self._imu_acc)[: k + 1]
-            gyrs[: k + 1] = np.stack(self._imu_gyr)[: k + 1]
-            # keep the frame-boundary sample for the next interval
-            self._imu_times = self._imu_times[-1:]
-            self._imu_acc = self._imu_acc[-1:]
-            self._imu_gyr = self._imu_gyr[-1:]
+            accs[: k + 1] = batch_a[: k + 1]
+            gyrs[: k + 1] = batch_g[: k + 1]
+            # keep the boundary sample (+ any unconsumed future samples) for
+            # the next interval
+            self._imu_times = [batch_t[-1]] + list(ts_all[j:])
+            self._imu_acc = [batch_a[-1]] + list(acc_all[j:])
+            self._imu_gyr = [batch_g[-1]] + list(gyr_all[j:])
+            if self._td_acc is not None and not self._td_solved:
+                ts_pad = np.zeros(I + 1)
+                ts_pad[: k + 1] = batch_t[: k + 1]
+                self._td_acc = self._jit_push_imu_angles(
+                    self._td_acc,
+                    jnp.asarray(ts_pad, self.dtype),
+                    jnp.asarray(gyrs, self.dtype),
+                    jnp.asarray(mask),
+                )
         d = self.dtype
         return (
             jnp.asarray(dts, d),
@@ -314,59 +480,120 @@ class VioEngine:
         """Process one camera frame.  pt_ids [M] (pad -1), pt_rays [M, 3]."""
         cfg = self.cfg
         nf = cfg.nf
-        imu_batch = self._pack_imu()
+        # measurement alignment boundary = img_t + td (estimator_node.cpp
+        # getMeasurements:120-161 with the online-calibrated time offset)
+        imu_batch = self._pack_imu(float(t) + self.td)
         pt_ids = jnp.asarray(pt_ids, jnp.int32)
         pt_rays = jnp.asarray(pt_rays, self.dtype)
         ln_args = self._pack_lines(ln_ids, ln_obs, ln_vps, ln_vp_valid)
         self.last_frame_time = float(t)
 
         if not self.initialized:
-            idx = jnp.asarray(self.frame_count, jnp.int32)
+            idx_int = self.frame_count
+            idx = jnp.asarray(idx_int, jnp.int32)
             self.state, self.data = self._fill_step(
                 self.state, self.data, idx, pt_ids, pt_rays, ln_args, imu_batch
             )
             self.frame_count += 1
+            self._online_calibration(t, idx_int)
             out = None
             if self.frame_count == nf:
+                if (
+                    self.estimate_extrinsic >= 2 and not self.extrinsic_ok
+                ) or (self.estimate_td and not self._td_solved):
+                    # calibration still converging: keep collecting frames
+                    # (estimator.cpp INITIAL phase holds until ric/td ready)
+                    self.state, self.data = self._init_drop_oldest(
+                        self.state, self.data
+                    )
+                    self.frame_count = nf - 1
+                    return None
                 self._key, k = jax.random.split(self._key)
                 state2, data2, ok = self._try_init(self.state, self.data, k)
                 if bool(ok):
-                    self.state, self.data = state2, data2
-                    # one full BA over the init window, then slide
-                    self.state, self.data, lm_out = jax.jit(
-                        lambda s, d: solve_window(s, d, cfg, self.params)
-                    )(self.state, self.data)
-                    prior = jax.jit(
-                        lambda s, d: marginalize_old(s, d, cfg, self.params)
-                    )(self.state, self.data)
-                    self.state, self.data = jax.jit(
-                        lambda s, d, p: slide_window_old(s, d, cfg, self.params, p)
-                    )(self.state, self.data, prior)
+                    self.state, self.data, lm_out = self._init_finalize(
+                        state2, data2
+                    )
                     self.initialized = True
-                    out = StepOutput(
-                        p=self.state.p[nf - 2], q=self.state.q[nf - 2],
-                        v=self.state.v[nf - 2], ba=self.state.ba[nf - 2],
-                        bg=self.state.bg[nf - 2],
-                        is_keyframe=jnp.asarray(True),
-                        failure=jnp.asarray(False), ba_cost=lm_out.cost,
+                    out = jax.device_get(
+                        StepOutput(
+                            p=self.state.p[nf - 2], q=self.state.q[nf - 2],
+                            v=self.state.v[nf - 2], ba=self.state.ba[nf - 2],
+                            bg=self.state.bg[nf - 2],
+                            is_keyframe=jnp.asarray(True),
+                            failure=jnp.asarray(False), ba_cost=lm_out.cost,
+                        )
                     )
                     self.frame_count = nf - 1
                 else:
                     # drop the oldest raw frame and keep collecting
-                    self.state, self.data = jax.jit(
-                        lambda s, d: slide_window_old(
-                            s, d, cfg, self.params, self.data.prior
-                        )
-                    )(self.state, self.data)
+                    self.state, self.data = self._init_drop_oldest(
+                        self.state, self.data
+                    )
                     self.frame_count = nf - 1
             return out
 
         self.state, self.data, out = self._track_step(
             self.state, self.data, pt_ids, pt_rays, ln_args, imu_batch
         )
+        # ONE host transfer for the whole step output: downstream consumers
+        # (SlamSystem, sinks) read many fields; fetching them lazily costs a
+        # device round-trip each — ruinous over a remote-TPU tunnel
+        out = jax.device_get(out)
         if bool(out.failure):
             self.reset()
         return out
+
+    def _online_calibration(self, t, idx_int):
+        """Hand-eye extrinsic rotation (mode 2) + time-offset accumulation
+        during the fill phase (estimator.cpp:141-173 hooks)."""
+        need_ex = self.estimate_extrinsic >= 2 and not self.extrinsic_ok
+        need_td = self.estimate_td and not self._td_solved
+        if idx_int <= 0 or not (need_ex or need_td):
+            return
+        self._key, k2 = jax.random.split(self._key)
+        q_cam, okp = self._jit_pair_rot(
+            self.data, jnp.asarray(idx_int - 1), jnp.asarray(idx_int), k2
+        )
+        if need_ex:
+            q_imu = self.data.imu_pre.delta_q[idx_int - 1]
+            self._ex_acc = self._jit_push_pair(self._ex_acc, q_cam, q_imu, okp)
+            q_ic, conv, _sigma = self._jit_solve_ex(self._ex_acc)
+            # convergence: the reference's excitation gate (σ2 > 0.25,
+            # initial_ex_rotation.cpp:66) OR estimate stability — successive
+            # solves agreeing within 0.5 deg over 8 frames with enough pairs
+            # (gentler motion than EuRoC never trips the raw σ gate)
+            q_np = np.asarray(q_ic)
+            if self._ex_prev is not None and int(self._ex_acc.count) >= 20:
+                dot = min(1.0, abs(float(np.dot(q_np, self._ex_prev))))
+                if np.degrees(2.0 * np.arccos(dot)) < 0.5:
+                    self._ex_stable += 1
+                else:
+                    self._ex_stable = 0
+            self._ex_prev = q_np
+            if bool(conv) or self._ex_stable >= 8:
+                self.state = self.state._replace(
+                    q_ic=jnp.asarray(q_np, self.dtype)
+                )
+                self.extrinsic_ok = True
+        if need_td:
+            # gate visual pairs against the gyro increment: small-baseline
+            # essential decompositions have heavy-tailed rotation errors that
+            # would permanently skew the cumulative curve; the td signal in a
+            # single pair (~td·dω) is orders below this 0.3 deg gate
+            dq_imu = self.data.imu_pre.delta_q[idx_int - 1]
+            ang_cam = 2.0 * jnp.arccos(jnp.clip(jnp.abs(q_cam[0]), 0.0, 1.0))
+            ang_imu = 2.0 * jnp.arccos(jnp.clip(jnp.abs(dq_imu[0]), 0.0, 1.0))
+            ok_td = okp & (jnp.abs(ang_cam - ang_imu) < 0.005)
+            self._td_acc = self._jit_push_cam_angle(
+                self._td_acc, jnp.asarray(float(t), self.dtype), q_cam,
+                self.state.q_ic, ok_td, dq_imu,
+            )
+            if int(self._td_acc.n_cam) >= 60:
+                td, _rms, okt = self._jit_solve_td(self._td_acc)
+                if bool(okt):
+                    self.td = float(td)
+                    self._td_solved = True
 
     def set_relo(self, match_ids, match_obs, old_p, old_q):
         """Arm fast-relocalization for the next solve (setReloFrame:1848).

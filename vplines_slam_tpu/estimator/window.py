@@ -74,7 +74,7 @@ class WindowConfig(NamedTuple):
     huber_delta: float = 1.0  # reference HuberLoss(1.0)
     min_parallax: float = 10.0 / 460.0  # keyframe threshold (parameters.cpp MIN_PARALLAX)
     ba_iters: int = 8  # NUM_ITERATIONS
-    line_min_obs: int = 3  # LINE_MIN_OBS=5 in reference; relaxed for short tests
+    line_min_obs: int = 5  # LINE_MIN_OBS (parameters.h); tests may relax
     init_min_corres: int = 20  # relativePose correspondence gate
     init_min_parallax: float = 30.0 / 460.0  # relativePose parallax gate
 
@@ -460,8 +460,15 @@ def solve_window(
         lm_mod.LMConfig(num_iters=num_iters or cfg.ba_iters),
     )
     state_new, invd_new, orth_new = out.x
+    state_fixed, orth_fixed = gauge_fix(state, state_new, orth_new, data.ln_solved, cfg)
+    data_new = data._replace(pt_inv_depth=invd_new, ln_orth=orth_fixed)
+    return state_fixed, data_new, out
 
-    # gauge fix: restore frame-0 position and yaw (double2vector2 semantics)
+
+def gauge_fix(state, state_new, orth_new, ln_solved, cfg: WindowConfig):
+    """Restore frame-0 position and yaw after a solve (double2vector2
+    semantics), applying the same rigid correction to the relo pose and all
+    solved world lines.  Shared by the single-chip and distributed solvers."""
     ypr0_old = rot_to_ypr(quat_to_rot(state.q[0]))
     ypr0_new = rot_to_ypr(quat_to_rot(state_new.q[0]))
     dyaw = ypr0_old[0] - ypr0_new[0]
@@ -493,11 +500,9 @@ def solve_window(
         return plk_to_orth(plk_transform(plk, R_fix, t_fix))
 
     orth_fixed = jnp.where(
-        data.ln_solved[:, None], jax.vmap(fix_line)(orth_new), orth_new
+        ln_solved[:, None], jax.vmap(fix_line)(orth_new), orth_new
     )
-
-    data_new = data._replace(pt_inv_depth=invd_new, ln_orth=orth_fixed)
-    return state_fixed, data_new, out
+    return state_fixed, orth_fixed
 
 
 # ---------------------------------------------------------------------------

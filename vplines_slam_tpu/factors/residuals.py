@@ -91,6 +91,51 @@ def line_reprojection(p_i, q_i, p_ic, q_ic, orth_w, obs):
     return jnp.stack([e1 / denom, e2 / denom], axis=-1)
 
 
+def _point_to_line_residual(plk_c, obs):
+    """Shared tail: endpoint distances to the projected infinite line."""
+    nc = plk_c[..., 0:3]
+    denom = jnp.sqrt(jnp.maximum(nc[..., 0] ** 2 + nc[..., 1] ** 2, 1e-18))
+    e1 = obs[..., 0] * nc[..., 0] + obs[..., 1] * nc[..., 1] + nc[..., 2]
+    e2 = obs[..., 2] * nc[..., 0] + obs[..., 3] * nc[..., 1] + nc[..., 2]
+    return jnp.stack([e1 / denom, e2 / denom], axis=-1)
+
+
+def line_reprojection_incamera(p_i, q_i, p_j, q_j, p_ic, q_ic, orth_ci, obs_j):
+    """Line parameterized in its ANCHOR camera frame i, observed in frame j
+    (lineProjectionFactor_incamera, line_projection_factor.h:40-50:
+    SizedCostFunction<2,7,7,7,4> over pose_i, pose_j, extrinsic, line).
+
+    orth_ci: 4-dof orthonormal coords of the line in camera i.
+    obs_j: [4] segment endpoints on frame j's normalized plane.
+    """
+    from ..utils.geometry import quat_to_rot
+
+    plk_ci = orth_to_plk(orth_ci)
+    # camera_i -> world: T_w_ci = T_w_bi ∘ T_b_c
+    R_ic = quat_to_rot(q_ic)
+    R_wbi = quat_to_rot(q_i)
+    R_wci = R_wbi @ R_ic
+    t_wci = p_i + quat_rotate(q_i, p_ic)
+    plk_w = plk_transform(plk_ci, R_wci, t_wci)
+    # world -> camera_j (same chain as line_reprojection)
+    R_bw = quat_to_rot(q_j).T
+    t_bw = -quat_rotate(quat_conj(q_j), p_j)
+    plk_b = plk_transform(plk_w, R_bw, t_bw)
+    R_cb = R_ic.T
+    t_cb = -quat_rotate(quat_conj(q_ic), p_ic)
+    plk_cj = plk_transform(plk_b, R_cb, t_cb)
+    return _point_to_line_residual(plk_cj, obs_j)
+
+
+def line_reprojection_instartframe(orth_ci, obs_i):
+    """Line in its anchor camera frame observed in that SAME frame
+    (lineProjectionFactor_instartframe, line_projection_factor.h:52:
+    SizedCostFunction<2,4> — no pose blocks; anchors the 4-dof line to its
+    own first observation)."""
+    plk_ci = orth_to_plk(orth_ci)
+    return _point_to_line_residual(plk_ci, obs_i)
+
+
 def vp_alignment(p_i, q_i, p_ic, q_ic, orth_w, vp_obs):
     """Vanishing-point residual: projected 3D line direction (in camera) vs the
     observed VP direction on the image plane (line_projection_factor.cpp:30-46).

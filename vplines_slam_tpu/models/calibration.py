@@ -87,10 +87,14 @@ def calibrate_time_offset(
     t_cam/yaw_cam: [N] camera timestamps + accumulated visual yaw (rad);
     t_imu/yaw_imu: [M] dense IMU curve.  Returns (td, rms).
     The camera curve evaluated at t_cam + td must lie on the IMU curve.
+    A constant yaw offset c is estimated jointly: the two cumulative curves
+    have independent origins (and slow visual drift), which would otherwise
+    leak into the time shift wherever the curve slope is shallow.
     """
     dtype = t_cam.dtype
 
-    def residuals(td):
+    def residuals(x):
+        td, c = x[0], x[1]
         tq = t_cam + td
 
         def one(t, y, v):
@@ -101,19 +105,20 @@ def calibrate_time_offset(
             p1 = jnp.stack([t_imu[k + 1], yaw_imu[k + 1]])
             u = p1 - p0
             u = u / jnp.maximum(jnp.linalg.norm(u), 1e-9)
-            p = jnp.stack([t, y])
+            p = jnp.stack([t, y + c])
             perp = (p - p0) - jnp.dot(p - p0, u) * u
             return jnp.linalg.norm(perp) * v
 
         return jax.vmap(one)(tq, yaw_cam, cam_valid.astype(dtype))
 
-    def gn(td, _):
-        r = residuals(td)
-        J = jax.jacfwd(residuals)(td)
-        H = jnp.dot(J, J) + 1e-9
-        g = jnp.dot(J, r)
-        return td - g / H, None
+    def gn(x, _):
+        r = residuals(x)
+        J = jax.jacfwd(residuals)(x)  # [N, 2]
+        H = J.T @ J + 1e-9 * jnp.eye(2, dtype=dtype)
+        g = J.T @ r
+        return x - jnp.linalg.solve(H, g), None
 
-    td, _ = jax.lax.scan(gn, jnp.asarray(td_init, dtype), None, length=iters)
-    rms = jnp.sqrt(jnp.mean(residuals(td) ** 2))
-    return td, rms
+    x0 = jnp.asarray([td_init, 0.0], dtype)
+    x, _ = jax.lax.scan(gn, x0, None, length=iters)
+    rms = jnp.sqrt(jnp.mean(residuals(x) ** 2))
+    return x[0], rms

@@ -144,7 +144,7 @@ def step(state: TrackerState, img, cam: cam_mod.CameraModel, cfg: TrackerConfig,
         ids=ids_new,
         track_cnt=track_cnt_new,
         norm_prev=norm_cur,
-        next_id=state.next_id + n_new,
+        next_id=(state.next_id + n_new).astype(state.next_id.dtype),
         prev_img=img,
         has_prev=jnp.asarray(True),
     )

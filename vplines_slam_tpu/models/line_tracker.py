@@ -155,7 +155,7 @@ def step(state: LineTrackerState, img_undist, ideal_cam, cfg: LineTrackerConfig,
     state_new = LineTrackerState(
         segs=segs_new,
         ids=ids_out,
-        next_id=state.next_id + n_new,
+        next_id=(state.next_id + n_new).astype(state.next_id.dtype),
         prev_img=img,
         has_prev=jnp.asarray(True),
         vps_prev=jnp.where(vp_ok, vps, state.vps_prev),

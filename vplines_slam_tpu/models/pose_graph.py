@@ -45,7 +45,7 @@ from ..utils.geometry import (
 
 
 class PoseGraphConfig(NamedTuple):
-    max_keyframes: int = 256
+    max_keyframes: int = 256  # initial capacity; the DB doubles when full
     n_features: int = 256  # FAST+BRIEF per keyframe (reference: 500)
     n_window_pts: int = 64  # tracked window points carried for PnP
     skip_recent: int = 50  # detectLoop exclusion zone
@@ -57,6 +57,12 @@ class PoseGraphConfig(NamedTuple):
     max_t: float = 20.0  # m gate
     seq_edges: int = 4
     pgo_iters: int = 6
+    # keyframe throttling (pose_graph_node.cpp:294-336 SKIP_CNT/SKIP_DIS):
+    # insert only every (skip_cnt+1)-th incoming VIO keyframe, and only when
+    # it has moved at least skip_dis meters from the last inserted one
+    skip_cnt: int = 0
+    skip_dis: float = 0.0
+    loop_edge_weight: float = 1.0  # reference FourDOFWeightError uses 1.0
 
 
 class KeyframeDB(NamedTuple):
@@ -292,7 +298,7 @@ def optimize_4dof(db: KeyframeDB, cfg: PoseGraphConfig):
             isafe = jnp.maximum(i, 0)
             return edge_res(
                 isafe, j, db.loop_t[j], db.loop_yaw[j], okl.astype(dtype)
-            ) * 2.0
+            ) * cfg.loop_edge_weight
 
         r_loop = jax.vmap(loop_edge)(jnp.arange(K))  # [K, 4]
 
@@ -358,6 +364,43 @@ def rebase_sequence(db: KeyframeDB, cfg: PoseGraphConfig, k_cur, cand):
     return db._replace(
         p_vio=p_vio2, q_vio=q_vio2, p_pgo=p_pgo2, yaw_pgo=yaw_pgo2
     ), (R_s, t_s)
+
+
+def grow_db(db: KeyframeDB, factor: int = 2) -> KeyframeDB:
+    """Host-side capacity doubling (the reference's pose graph grows
+    unboundedly, pose_graph.cpp keyframelist; here fixed device shapes double
+    when full — O(log N) recompiles of the shape-keyed PGO programs).
+
+    New rows get the same defaults as empty_db so masked programs treat them
+    as inactive.
+    """
+    K = db.p_vio.shape[0]
+    extra = K * (factor - 1)
+    dtype = db.p_vio.dtype
+
+    def pad0(a):
+        return jnp.concatenate(
+            [a, jnp.zeros((extra,) + a.shape[1:], a.dtype)], axis=0
+        )
+
+    q_pad = jnp.zeros((extra, 4), dtype).at[:, 0].set(1.0)
+    return db._replace(
+        seq=jnp.concatenate([db.seq, jnp.ones((extra,), jnp.int32)]),
+        p_vio=pad0(db.p_vio),
+        q_vio=jnp.concatenate([db.q_vio, q_pad]),
+        p_pgo=pad0(db.p_pgo),
+        yaw_pgo=pad0(db.yaw_pgo),
+        sig=pad0(db.sig),
+        desc=pad0(db.desc),
+        kp_norm=pad0(db.kp_norm),
+        kp_valid=pad0(db.kp_valid),
+        wdesc=pad0(db.wdesc),
+        w3d=pad0(db.w3d),
+        w_valid=pad0(db.w_valid),
+        loop_to=jnp.concatenate([db.loop_to, jnp.full((extra,), -1, jnp.int32)]),
+        loop_t=pad0(db.loop_t),
+        loop_yaw=pad0(db.loop_yaw),
+    )
 
 
 def save_db(db: KeyframeDB, path):

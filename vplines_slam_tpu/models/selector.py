@@ -157,6 +157,9 @@ def select_features(
     (selectInformativeFeatures; logdet objective like the reference's
     logdetUB path).
 
+    budget may be a TRACED integer: the scan always runs cfg.max_features
+    rounds (static shape) and rounds past the budget are masked off, so one
+    compiled program serves every per-frame budget.
     Returns (selected [N] bool, gains [N] first-round gains).
     """
     N = omega_feats.shape[0]
@@ -166,20 +169,21 @@ def select_features(
         sign, ld = jnp.linalg.slogdet(M + 1e-9 * jnp.eye(dim))
         return ld
 
-    def round_step(carry, _):
+    def round_step(carry, round_idx):
         omega, selected = carry
         base = logdet(omega)
         cand = jax.vmap(lambda Of: logdet(omega + Of))(omega_feats)
         gain = jnp.where(candidate_mask & ~selected, cand - base, -jnp.inf)
         best = jnp.argmax(gain)
-        improved = gain[best] > 0.0
+        improved = (gain[best] > 0.0) & (round_idx < budget)
         omega = jnp.where(improved, omega + omega_feats[best], omega)
         selected = selected.at[best].set(selected[best] | improved)
         return (omega, selected), gain[best]
 
-    init = (omega_prior, jnp.zeros(N, bool))
     (omega, selected), gains = jax.lax.scan(
-        round_step, init, None, length=budget
+        round_step,
+        (omega_prior, jnp.zeros(N, bool)),
+        jnp.arange(cfg.max_features),
     )
     # first-round gains for diagnostics
     base0 = logdet(omega_prior)

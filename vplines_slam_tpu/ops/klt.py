@@ -126,9 +126,96 @@ def _track_level(img0, img1, pts0, guess, cfg: KLTConfig, dtype):
     return jax.vmap(one)(pts0, guess)
 
 
-def track(img0, img1, pts0, cfg: KLTConfig = KLTConfig(), init_flow=None):
+def affine_from_pose(uv_px, depth, R_cr, t_cr, fx, fy, cx, cy, eps=1.0):
+    """Local affine warp A = d(uv_cur)/d(uv_ref) in PIXELS at one feature
+    (klt.h getAffineModel, the SVO-style patch warp): project the feature and
+    two eps-offset pixels through (depth, R_cr, t_cr) where
+    x_cur = R_cr x_ref + t_cr.
+
+    uv_px: [2] pixel in the ref frame; depth: scalar z in the ref camera.
+    Returns [2, 2].  vmap over features.
+    """
+
+    def proj(uv):
+        xn = (uv[0] - cx) / fx
+        yn = (uv[1] - cy) / fy
+        X = jnp.stack([xn, yn, jnp.ones_like(xn)]) * depth
+        Xc = R_cr @ X + t_cr
+        z = jnp.maximum(Xc[2], 1e-6)
+        return jnp.stack([Xc[0] / z * fx + cx, Xc[1] / z * fy + cy])
+
+    p0 = proj(uv_px)
+    du = (proj(uv_px + jnp.asarray([eps, 0.0], uv_px.dtype)) - p0) / eps
+    dv = (proj(uv_px + jnp.asarray([0.0, eps], uv_px.dtype)) - p0) / eps
+    return jnp.stack([du, dv], axis=1)  # columns: d cur / d ref_x, d ref_y
+
+
+def _track_level_affine(img0, img1, pts0, guess, A_inv, cfg: KLTConfig, dtype):
+    """One pyramid level with per-feature AFFINE template warp
+    (klt.h getAffineModel / SVO patch warp): the ref patch is sampled at
+    p0 + A⁻¹·u for cur-frame patch coords u, so tracking in img1 reduces to
+    pure translation; template gradients chain through A⁻¹."""
+    gx0, gy0 = scharr_gradients(img0)
+    r = (cfg.win - 1) / 2.0
+    g = jnp.arange(cfg.win, dtype=dtype) - r
+    gy_, gx_ = jnp.meshgrid(g, g, indexing="ij")
+    u = jnp.stack([gx_, gy_], axis=-1)  # [win, win, 2] cur-patch offsets
+    P = cfg.win
+    img1p = jnp.pad(img1, P)
+    off = jnp.asarray([P, P], dtype)
+
+    def one(p0, d0, Ai):
+        ref_xy = p0[None, None, :] + u @ Ai.T  # [win, win, 2]
+        T = bilinear_sample(img0, ref_xy)
+        gxT = bilinear_sample(gx0, ref_xy)
+        gyT = bilinear_sample(gy0, ref_xy)
+        # chain rule: dT/du = Aiᵀ ∇I_ref
+        Ix = gxT * Ai[0, 0] + gyT * Ai[1, 0]
+        Iy = gxT * Ai[0, 1] + gyT * Ai[1, 1]
+        a = jnp.sum(Ix * Ix)
+        b = jnp.sum(Ix * Iy)
+        c = jnp.sum(Iy * Iy)
+        det = a * c - b * b
+        n = cfg.win * cfg.win
+        min_eig = (c + a - jnp.sqrt((a - c) ** 2 + 4.0 * b * b)) / (2.0 * n)
+        ok = min_eig > cfg.min_eig
+        inv = (
+            jnp.array([[c, -b], [-b, a]], dtype)
+            / jnp.where(det > 1e-12, det, 1.0)
+        )
+
+        def body(_, d):
+            I = extract_patch(img1p, p0 + d + off, cfg.win)
+            if cfg.illum_adapt:
+                mI, mT = jnp.mean(I), jnp.mean(T)
+                sI = jnp.std(I) + 1e-6
+                sT = jnp.std(T) + 1e-6
+                I = (I - mI) * (sT / sI) + mT
+            rr = I - T
+            gvec = jnp.stack([jnp.sum(rr * Ix), jnp.sum(rr * Iy)])
+            step = jnp.where(ok, inv @ gvec, jnp.zeros(2, dtype))
+            return d - step
+
+        d = jax.lax.fori_loop(0, cfg.iters, body, d0)
+        I = extract_patch(img1p, p0 + d + off, cfg.win)
+        if cfg.illum_adapt:
+            mI, mT = jnp.mean(I), jnp.mean(T)
+            sI = jnp.std(I) + 1e-6
+            sT = jnp.std(T) + 1e-6
+            I = (I - mI) * (sT / sI) + mT
+        resid = jnp.mean(jnp.abs(I - T))
+        return d, ok, resid
+
+    return jax.vmap(one)(pts0, guess, A_inv)
+
+
+def track(img0, img1, pts0, cfg: KLTConfig = KLTConfig(), init_flow=None,
+          affine_inv=None):
     """Track pts0 [N,2] from img0 to img1 through a pyramid.
 
+    affine_inv: optional [N, 2, 2] inverse local affine (maps cur-frame patch
+    offsets to ref-frame offsets; see affine_from_pose) enabling the
+    reference's getAffineModel patch-warp mode for viewpoint change.
     Returns (pts1 [N,2], ok [N], residual [N]).  Border/occlusion failures are
     flagged, matching the status output of calcOpticalFlowPyrLK.
     """
@@ -144,7 +231,13 @@ def track(img0, img1, pts0, cfg: KLTConfig = KLTConfig(), init_flow=None):
     resid = jnp.zeros(N, dtype)
     for lvl in range(cfg.levels - 1, -1, -1):
         s = 2.0**lvl
-        if cfg.use_pallas:
+        if affine_inv is not None:
+            # affine offsets are scale-invariant: the same A⁻¹ applies at
+            # every pyramid level
+            flow, ok, resid = _track_level_affine(
+                pyr0[lvl], pyr1[lvl], pts0 / s, flow, affine_inv, cfg, dtype
+            )
+        elif cfg.use_pallas:
             from .image import scharr_gradients
             from .klt_pallas import track_level_pallas
 

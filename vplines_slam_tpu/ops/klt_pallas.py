@@ -81,10 +81,12 @@ def _lk_kernel(pts_ref, guess_ref, img0_ref, img1_ref, gx_ref, gy_ref,
     I = patch(img1_ref, px + dx, py + dy)
     resid = jnp.mean(jnp.abs(I - T))
 
-    flow_ref[0, 0] = dx
-    flow_ref[0, 1] = dy
-    ok_ref[0, 0] = good.astype(jnp.int32)
-    resid_ref[0, 0] = resid
+    # per-feature scalar results live in SMEM (full [N, .] arrays; a (1, 2)
+    # tiled VMEM block would violate the (8, 128) tiling rule)
+    flow_ref[i, 0] = dx
+    flow_ref[i, 1] = dy
+    ok_ref[i, 0] = good.astype(jnp.int32)
+    resid_ref[i, 0] = resid
 
 
 @functools.partial(jax.jit, static_argnames=("win", "iters", "min_eig", "interpret"))
@@ -110,9 +112,9 @@ def track_level_pallas(img0, img1, gx, gy, pts, guess, win=21, iters=10,
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 2), lambda i, *_: (i, 0)),
-            pl.BlockSpec((1, 1), lambda i, *_: (i, 0)),
-            pl.BlockSpec((1, 1), lambda i, *_: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
     )
 

@@ -66,10 +66,15 @@ def point_to_segment_dist(p, a, b):
 
 
 def match_lines(
-    img0, img1, segs0, valid0, segs1, valid1, cfg: LineMatchConfig = LineMatchConfig()
+    img0, img1, segs0, valid0, segs1, valid1,
+    cfg: LineMatchConfig = LineMatchConfig(), warp=None,
 ):
     """Match previous-frame segments to current-frame segments.
 
+    warp: optional pose prior (R_cr, t_cr, depth, fx, fy, cx, cy) enabling
+    the reference's affine patch-warp KLT (klt.h getAffineModel): R_cr/t_cr
+    map ref-camera coords to cur-camera coords; depth is a scalar (or [L0])
+    scene-depth guess for the anchors.
     Returns (match [L0] int32 index into segs1 or -1, n_votes [L0]).
     """
     L0 = segs0.shape[0]
@@ -78,7 +83,18 @@ def match_lines(
 
     anchors, amask = sample_anchors(segs0, valid0, cfg)  # [L0, A, 2]
     flat = anchors.reshape(L0 * A, 2)
-    tracked, ok, _ = klt_mod.track(img0, img1, flat, cfg.klt)
+    affine_inv = None
+    if warp is not None:
+        R_cr, t_cr, depth, fx, fy, cx, cy = warp
+        depth = jnp.broadcast_to(jnp.asarray(depth, segs0.dtype), (L0,))
+        depth_flat = jnp.repeat(depth, A)
+        Aff = jax.vmap(
+            lambda uv, z: klt_mod.affine_from_pose(uv, z, R_cr, t_cr, fx, fy, cx, cy)
+        )(flat, depth_flat)
+        affine_inv = jnp.linalg.inv(
+            Aff + 1e-6 * jnp.eye(2, dtype=segs0.dtype)
+        )
+    tracked, ok, _ = klt_mod.track(img0, img1, flat, cfg.klt, affine_inv=affine_inv)
     tracked = tracked.reshape(L0, A, 2)
     ok = ok.reshape(L0, A) & amask
 

@@ -210,7 +210,9 @@ def detect_lines(img, cfg: LineDetectConfig = LineDetectConfig()):
     tb = jnp.clip(
         (theta / jnp.pi * cfg.theta_bins).astype(jnp.int32), 0, cfg.theta_bins - 1
     )
-    max_rho = float(jnp.sqrt(H * H + W * W))
+    import math
+
+    max_rho = math.sqrt(H * H + W * W)  # host constant (H, W are static)
     n_rho = int(2 * max_rho / cfg.rho_bin) + 2
     rb = jnp.clip(
         ((rho + max_rho) / cfg.rho_bin).astype(jnp.int32), 0, n_rho - 1

@@ -1,23 +1,34 @@
 """Distributed sliding-window BA: landmark blocks sharded over a device mesh.
 
 The multi-chip scaling design from BASELINE.json's north star: partition the
-landmark population (point depths) across devices, evaluate residual
-jacobians locally, Schur-reduce landmark blocks locally, and all-reduce the
-small camera-camera reduced system over ICI with ``jax.lax.psum`` — the
-factor-graph analogue of data-parallel gradient sync.  The reference has no
-distributed mode at all (single machine, ROS loopback — SURVEY §2.8); this
-is new capability, not parity.
+landmark population (point inverse depths AND 4-dof lines) across devices,
+evaluate residual jacobians locally, Schur-eliminate landmark blocks locally,
+and all-reduce the small dense (camera) reduced system over ICI with
+``jax.lax.psum`` — the factor-graph analogue of data-parallel gradient sync.
+The reference has no distributed mode at all (single machine, ROS loopback —
+SURVEY §2.8); this is new capability, not parity.
+
+The distributed solver is the SAME algorithm as the single-chip one
+(solver/lm.py lm_solve + schur_solve): identical Levenberg-Marquardt damping,
+branchless accept/reject, identical Schur elimination, identical residual
+stack (window.window_residuals) — so an N-device solve matches a 1-device
+solve to floating-point reduction order.  This is achieved by reusing
+``window_residuals`` per shard with a "local" WindowConfig whose landmark
+capacities are the per-device shard sizes.
 
 Layout:
-  mesh axis "f": features (points).  Window states are replicated.
-  Each device holds MAXP/n point tracks; IMU + prior factors are evaluated
-  redundantly on every device (tiny) so no second communication round is
-  needed before the reduced solve.
+  mesh axis "f": landmarks.  Point tracks and line tracks are sharded along
+  their slot axis; window states, IMU intervals and the prior are replicated.
+  Each landmark's residual rows live entirely on its home device (a track's
+  observations are all in its slot row), so landmark Hessian columns never
+  cross devices; only the nd x nd reduced camera system is psum'ed.
+
+Multi-host note: the same psum rides ICI within a host and DCN across hosts
+when the Mesh spans multiple processes (jax.distributed); nothing here is
+host-count-aware by construction.
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -28,149 +39,237 @@ from ..estimator import window as win_mod
 from ..models import imu as imu_mod
 from ..solver import lm as lm_mod
 
+try:  # jax >= 0.5 exposes shard_map at top level (check_rep -> check_vma)
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
-def shard_tracks(data: win_mod.TrackData, mesh: Mesh):
-    """Place point-track arrays sharded over the 'f' axis, everything else
-    replicated."""
-    pt_sharded = {
-        "pt_id", "pt_obs", "pt_mask", "pt_start", "pt_inv_depth", "pt_solved",
-    }
+
+# arrays of TrackData sharded along their first (landmark-slot) axis
+_PT_SHARDED = (
+    "pt_id", "pt_obs", "pt_mask", "pt_start", "pt_inv_depth", "pt_solved",
+    "relo_obs", "relo_mask",
+)
+_LN_SHARDED = (
+    "ln_id", "ln_obs", "ln_mask", "ln_vp", "ln_vp_mask", "ln_orth", "ln_solved",
+)
+
+
+def shard_tracks(data: win_mod.TrackData, mesh: Mesh) -> win_mod.TrackData:
+    """Place landmark-track arrays sharded over the 'f' axis, everything else
+    (IMU intervals, prior, relo scalars) replicated."""
+    sharded = set(_PT_SHARDED) | set(_LN_SHARDED)
     out = {}
     for name, val in data._asdict().items():
-        if name in pt_sharded:
+        if not hasattr(val, "ndim"):
+            # nested pytrees (imu_pre, prior, prior_state): replicate leaves
+            out[name] = jax.tree_util.tree_map(
+                lambda a: jax.device_put(
+                    a, NamedSharding(mesh, P(*([None] * a.ndim)))
+                ),
+                val,
+            )
+            continue
+        if name in sharded:
             spec = P("f", *([None] * (val.ndim - 1)))
         else:
-            spec = P(*([None] * getattr(val, "ndim", 0))) if hasattr(val, "ndim") else None
-        if hasattr(val, "ndim"):
-            out[name] = jax.device_put(val, NamedSharding(mesh, spec))
-        else:
-            out[name] = val
+            spec = P(*([None] * val.ndim))
+        out[name] = jax.device_put(val, NamedSharding(mesh, spec))
     return win_mod.TrackData(**out)
 
 
-def make_dist_ba_step(mesh: Mesh, cfg: win_mod.WindowConfig, params: imu_mod.ImuParams,
-                      num_iters: int = 2):
-    """Build a jitted distributed Gauss-Newton step.
+def _local_cfg(cfg: win_mod.WindowConfig, n_shards: int) -> win_mod.WindowConfig:
+    if cfg.max_points % n_shards or cfg.max_lines % n_shards:
+        raise ValueError(
+            f"max_points={cfg.max_points} and max_lines={cfg.max_lines} must "
+            f"divide evenly over {n_shards} devices"
+        )
+    return cfg._replace(
+        max_points=cfg.max_points // n_shards,
+        max_lines=cfg.max_lines // n_shards,
+    )
 
-    Returns step(state, data) -> (state', inv_depth', cost).  Landmark blocks
-    (depths) live and are eliminated on their home device; the ND x ND reduced
-    camera system is psum'ed over ICI and solved replicated.
+
+def make_dist_ba_step(
+    mesh: Mesh,
+    cfg: win_mod.WindowConfig,
+    params: imu_mod.ImuParams,
+    num_iters: int | None = None,
+    lm_cfg: lm_mod.LMConfig | None = None,
+    weights: win_mod.ResidualWeights = win_mod.ResidualWeights(),
+):
+    """Build the jitted distributed LM solve.
+
+    Returns step(state, data) -> (state', data', LMResult-like namedtuple)
+    with the same semantics (including the yaw/position gauge re-anchoring of
+    double2vector2:810-900) as ``window.solve_window``.
     """
+    n_shards = mesh.shape["f"]
+    cfg_loc = _local_cfg(cfg, n_shards)
+    lm_cfg = lm_cfg or lm_mod.LMConfig(num_iters=num_iters or cfg.ba_iters)
     nd = cfg.nd
-    n_local = cfg.max_points // mesh.shape["f"]
+    n_loc = cfg_loc.max_points + 4 * cfg_loc.max_lines  # local landmark dims
 
-    def local_point_system(state, pt_obs, pt_mask, pt_start, pt_id, pt_solved,
-                           inv_depth):
-        """Per-shard: point-factor jacobians wrt (dense, local depths)."""
-        nf = cfg.nf
+    w_local = weights._replace(use_imu=False, use_prior=False)
+    w_dense = weights._replace(
+        use_points=False, use_lines=False, use_vps=False, use_relo=False
+    )
+
+    def lm_body(state, data_loc):
+        """Runs per device inside shard_map.  data_loc's landmark arrays are
+        the local shard; IMU/prior fields are the replicated full copies."""
         dtype = state.p.dtype
 
-        def residual(dense_delta, invd):
-            st = win_mod.retract_state(state, dense_delta, cfg)
-            from ..factors import residuals as res
+        def local_residual(x):
+            return win_mod.window_residuals(x, data_loc, cfg_loc, params, w_local)
 
-            def one_rs(slot, j):
-                i = pt_start[slot]
-                r = res.point_reprojection(
-                    st.p[i], st.q[i], st.p[j], st.q[j], st.p_ic, st.q_ic,
-                    invd[slot], pt_obs[slot, i], pt_obs[slot, j],
+        def dense_residual(st):
+            x = (st, data_loc.pt_inv_depth, data_loc.ln_orth)
+            return win_mod.window_residuals(x, data_loc, cfg_loc, params, w_dense)
+
+        def retract(x, d):
+            return win_mod.retract_all(x, d, cfg_loc)
+
+        def cost_of(x):
+            r_loc = local_residual(x)
+            c_loc = jax.lax.psum(0.5 * jnp.dot(r_loc, r_loc), "f")
+            r_d = dense_residual(x[0])
+            return c_loc + 0.5 * jnp.dot(r_d, r_d)
+
+        def linearize(x):
+            zero = jnp.zeros(nd + n_loc, dtype)
+            r0 = local_residual(x)
+            J = jax.jacfwd(lambda d: local_residual(retract(x, d)))(zero)
+            # dense-only factors (IMU + prior): jacobian wrt dense block only
+            zd = jnp.zeros(nd, dtype)
+            rd0 = dense_residual(x[0])
+            Jd = jax.jacfwd(
+                lambda d: dense_residual(win_mod.retract_state(x[0], d, cfg))
+            )(zd)
+            return r0, J, rd0, Jd
+
+        def solve_damped(H_loc, g_loc, rd0, Jd, lam):
+            """Exactly schur_solve's math, with the dense block psum'ed.
+
+            H_loc is the per-device [(nd+n_loc)²] normal matrix of local
+            landmark factors; the landmark columns are fully local."""
+            # replicated dense-factor block
+            Hdd = jax.lax.psum(H_loc[:nd, :nd], "f") + Jd.T @ Jd
+            g_d = jax.lax.psum(g_loc[:nd], "f") - Jd.T @ rd0
+            # damping on the FULL (global) diagonal, like schur_solve
+            floor = jnp.asarray(lm_cfg.diag_floor, dtype)
+            diag_d = jnp.diag(Hdd)
+            Hdd = Hdd + jnp.diag(lam * diag_d + floor)
+            diag_l = jnp.diag(H_loc)[nd:]
+            damp_l = lam * diag_l + floor
+
+            Pl = cfg_loc.max_points
+            Ll = cfg_loc.max_lines
+            S = Hdd
+            rhs = g_d
+            corr_S = jnp.zeros((nd, nd), dtype)
+            corr_r = jnp.zeros((nd,), dtype)
+            wp = None
+            Wl = None
+            if Pl > 0:
+                Hdp = H_loc[:nd, nd : nd + Pl]
+                hp = diag_l[:Pl] + damp_l[:Pl]
+                g_p = g_loc[nd : nd + Pl]
+                wp = 1.0 / hp
+                corr_S = corr_S + (Hdp * wp[None, :]) @ Hdp.T
+                corr_r = corr_r + Hdp @ (wp * g_p)
+            if Ll > 0:
+                Hdl = H_loc[:nd, nd + Pl :].reshape(nd, Ll, 4)
+                Hll = H_loc[nd + Pl :, nd + Pl :].reshape(Ll, 4, Ll, 4)
+                idx = jnp.arange(Ll)
+                Hll_b = Hll[idx, :, idx, :] + jax.vmap(jnp.diag)(
+                    damp_l[Pl:].reshape(Ll, 4)
                 )
-                valid = (
-                    (pt_id[slot] >= 0) & pt_mask[slot, j] & pt_solved[slot] & (j != i)
+                g_l = g_loc[nd + Pl :].reshape(Ll, 4)
+                Wl = jnp.linalg.inv(Hll_b)
+                corr_S = corr_S + jnp.einsum("dlk,lkm,elm->de", Hdl, Wl, Hdl)
+                corr_r = corr_r + jnp.einsum("dlk,lkm,lm->d", Hdl, Wl, g_l)
+            S = S - jax.lax.psum(corr_S, "f")
+            rhs = rhs - jax.lax.psum(corr_r, "f")
+
+            cf = jax.scipy.linalg.cho_factor(S, lower=True)
+            dd = jax.scipy.linalg.cho_solve(cf, rhs)
+
+            parts = [dd]
+            if Pl > 0:
+                dp = wp * (g_p - Hdp.T @ dd)
+                parts.append(dp)
+            if Ll > 0:
+                dl = jnp.einsum(
+                    "lkm,lm->lk", Wl, g_l - jnp.einsum("dlk,d->lk", Hdl, dd)
                 )
-                w = res.huber_weight(
-                    jax.lax.stop_gradient(jnp.sum(r * r)) * cfg.point_sqrt_info**2,
-                    cfg.huber_delta,
-                )
-                return r * cfg.point_sqrt_info * w * valid.astype(dtype)
+                parts.append(dl.reshape(Ll * 4))
+            return jnp.concatenate(parts)
 
-            r = jax.vmap(
-                lambda s: jax.vmap(lambda j: one_rs(s, j))(jnp.arange(nf))
-            )(jnp.arange(n_local))
-            return r.reshape(-1)
+        x0 = (state, data_loc.pt_inv_depth, data_loc.ln_orth)
+        cost0 = cost_of(x0)
 
-        zero_d = jnp.zeros(nd, state.p.dtype)
-        r0 = residual(zero_d, inv_depth)
-        Jd = jax.jacfwd(lambda d: residual(d, inv_depth))(zero_d)  # [R, nd]
-        Jl = jax.jacfwd(lambda l: residual(zero_d, l))(inv_depth)  # [R, n_local]
-        return r0, Jd, Jl
-
-    def dense_system(state, data):
-        """IMU + prior residuals (replicated, tiny)."""
-        def residual(dense_delta):
-            st = win_mod.retract_state(state, dense_delta, cfg)
-            from ..solver import marginalization as marg_mod
-
-            dx = win_mod.boxminus_state(st, data.prior_state, cfg)
-            r_p = marg_mod.prior_residual(data.prior, dx)
-            r_i = win_mod._imu_residuals(st, data, cfg, params).reshape(-1)
-            return jnp.concatenate([r_p, r_i])
-
-        zero_d = jnp.zeros(nd, state.p.dtype)
-        r0 = residual(zero_d)
-        J = jax.jacfwd(residual)(zero_d)
-        return r0, J
-
-    def gn_step(state, data):
-        def sharded_fn(pt_obs, pt_mask, pt_start, pt_id, pt_solved, inv_depth):
-            r0, Jd, Jl = local_point_system(
-                state, pt_obs, pt_mask, pt_start, pt_id, pt_solved, inv_depth
+        def body(_, carry):
+            x, lam, cost = carry
+            r0, J, rd0, Jd = linearize(x)
+            H_loc = J.T @ J
+            g_loc = -(J.T @ r0)
+            delta = solve_damped(H_loc, g_loc, rd0, Jd, lam)
+            x_new = retract(x, delta)
+            cost_new = cost_of(x_new)
+            accept = cost_new < cost
+            x = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(accept, b, a), x, x_new
             )
-            # local landmark elimination
-            hl = jnp.sum(Jl * Jl, axis=0) + 1e-6  # [n_local] (diag; Jl is col-sparse)
-            g_d_local = -(Jd.T @ r0)
-            g_l = -(Jl.T @ r0)
-            Hdl = Jd.T @ Jl  # [nd, n_local]
-            wl = 1.0 / hl
-            S_partial = Jd.T @ Jd - (Hdl * wl[None, :]) @ Hdl.T
-            rhs_partial = g_d_local - Hdl @ (wl * g_l)
-            cost_partial = 0.5 * jnp.dot(r0, r0)
-            # ICI all-reduce of the reduced camera system
-            S = jax.lax.psum(S_partial, "f")
-            rhs = jax.lax.psum(rhs_partial, "f")
-            cost = jax.lax.psum(cost_partial, "f")
+            cost = jnp.where(accept, cost_new, cost)
+            lam = jnp.clip(
+                jnp.where(accept, lam * lm_cfg.lambda_down, lam * lm_cfg.lambda_up),
+                lm_cfg.lambda_min,
+                lm_cfg.lambda_max,
+            )
+            return x, lam, cost
 
-            # replicated dense part
-            r_dense, J_dense = dense_system(state, data)
-            S = S + J_dense.T @ J_dense
-            rhs = rhs - J_dense.T @ r_dense
-            cost = cost + 0.5 * jnp.dot(r_dense, r_dense)
-
-            S = S + jnp.diag(1e-6 * jnp.diag(S) + 1e-9)
-            dd = jnp.linalg.solve(S, rhs)
-            # local landmark back-substitution
-            dl = wl * (g_l - Hdl.T @ dd)
-            return dd, dl, cost
-
-        try:
-            from jax import shard_map
-        except ImportError:  # older jax
-            from jax.experimental.shard_map import shard_map
-
-        dd, dl, cost = shard_map(
-            sharded_fn,
-            mesh=mesh,
-            in_specs=(P("f"), P("f"), P("f"), P("f"), P("f"), P("f")),
-            out_specs=(P(), P("f"), P()),
-            check_rep=False,
-        )(
-            data.pt_obs, data.pt_mask, data.pt_start, data.pt_id,
-            data.pt_solved, data.pt_inv_depth,
+        lam0 = jnp.asarray(lm_cfg.lambda_init, dtype)
+        (x, lam, cost) = jax.lax.fori_loop(
+            0, lm_cfg.num_iters, body, (x0, lam0, cost0)
         )
-        state_new = win_mod.retract_state(state, dd, cfg)
-        invd_new = data.pt_inv_depth + dl
-        return state_new, invd_new, cost
+        state_new, invd_new, orth_new = x
+        return state_new, invd_new, orth_new, cost0, cost, lam
+
+    state_specs = jax.tree_util.tree_map(
+        lambda _: P(), win_mod.empty_state(cfg)
+    )
+    data_specs = {}
+    proto = win_mod.empty_tracks(cfg)
+    for name, val in proto._asdict().items():
+        if name in _PT_SHARDED or name in _LN_SHARDED:
+            data_specs[name] = P("f", *([None] * (val.ndim - 1)))
+        else:
+            data_specs[name] = jax.tree_util.tree_map(
+                lambda a: P(*([None] * a.ndim)), val
+            )
+    data_specs = win_mod.TrackData(**data_specs)
+
+    sharded_lm = shard_map(
+        lm_body,
+        mesh=mesh,
+        in_specs=(state_specs, data_specs),
+        out_specs=(state_specs, P("f"), P("f", None), P(), P(), P()),
+        check_vma=False,
+    )
 
     def step(state, data):
-        def body(_, carry):
-            st, invd = carry
-            st2, invd2, cost = gn_step(st, data._replace(pt_inv_depth=invd))
-            return st2, invd2
-
-        st, invd = jax.lax.fori_loop(
-            0, num_iters, body, (state, data.pt_inv_depth)
+        state_new, invd_new, orth_new, cost0, cost, lam = sharded_lm(state, data)
+        # gauge fix (double2vector2:810-900), identical to solve_window
+        state_fixed, orth_fixed = win_mod.gauge_fix(
+            state, state_new, orth_new, data.ln_solved, cfg
         )
-        _, _, cost = gn_step(st, data._replace(pt_inv_depth=invd))
-        return st, invd, cost
+        data_new = data._replace(pt_inv_depth=invd_new, ln_orth=orth_fixed)
+        out = lm_mod.LMResult(
+            x=(state_fixed, invd_new, orth_fixed),
+            cost0=cost0, cost=cost, lam=lam,
+            grad_norm=jnp.asarray(0.0, cost.dtype),
+        )
+        return state_fixed, data_new, out
 
     return jax.jit(step)

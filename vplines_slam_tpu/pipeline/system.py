@@ -58,6 +58,10 @@ class SlamSystem:
         p_ic=None,
         use_loop_closure: bool = True,
         stream_gap_restart: float = 1.0,
+        use_feature_selector: bool = False,
+        selector_cfg=None,
+        estimate_extrinsic=None,
+        estimate_td: bool = False,
         dtype=jnp.float32,
     ):
         self.cam = cam
@@ -73,10 +77,23 @@ class SlamSystem:
             p_ic=p_ic,
             dtype=dtype,
             use_lines=line_cfg is not None,
+            estimate_extrinsic=estimate_extrinsic,
+            estimate_td=estimate_td,
         )
+        # attention feature selector (USE_FEATURE_SELECTOR=1 dispatch,
+        # estimator_node.cpp:336-349): tracked features always pass; new
+        # features compete for the remaining information budget
+        from ..models import selector as sel_mod
+
+        self.use_selector = use_feature_selector
+        self.selector_cfg = selector_cfg or sel_mod.SelectorConfig()
         self.use_loop = use_loop_closure
         self.pg_cfg = pg_cfg
         self.db = pg_mod.empty_db(pg_cfg, dtype)
+        # host mirrors of db.count / db.seq: reading them from the device
+        # every keyframe costs a round-trip each (tunnel-latency killer)
+        self._db_count = 0
+        self._db_seqs: list = []
         self.R_drift = np.eye(3)
         self.t_drift = np.zeros(3)
         self._pending_loops = 0
@@ -97,6 +114,72 @@ class SlamSystem:
         self.fusion = gf_mod.empty_fusion(fusion_cfg, dtype) if fusion_cfg else None
         self._gps_origin = None
         self._key = jax.random.PRNGKey(1)
+        # keyframe throttling state (pose_graph_node.cpp SKIP_CNT/SKIP_DIS)
+        self._kf_skip_count = 0
+        self._last_kf_p = None
+        # every jitted program is built ONCE here; per-frame calls hit the
+        # trace cache (zero retraces after warmup — trace_counts proves it)
+        self._trace_counts: dict = {}
+        self._build_jits()
+
+    def _counted_jit(self, name, fn):
+        """jax.jit whose Python body bumps a counter at TRACE time, so tests
+        can assert zero retraces in the steady state."""
+
+        def traced(*args, **kwargs):
+            self._trace_counts[name] = self._trace_counts.get(name, 0) + 1
+            return fn(*args, **kwargs)
+
+        return jax.jit(traced)
+
+    def _build_jits(self):
+        pg_cfg = self.pg_cfg
+        jit = self._counted_jit
+        self._jit_pgo = jit("pgo", lambda db: pg_mod.optimize_4dof(db, pg_cfg))
+        self._jit_drift = jit(
+            "drift", lambda db: pg_mod.drift_correction(db, pg_cfg)
+        )
+        self._jit_rebase = jit(
+            "rebase",
+            lambda db, k, cand: pg_mod.rebase_sequence(db, pg_cfg, k, cand),
+        )
+        self._jit_record_loop = jit("record_loop", pg_mod.record_loop)
+        self._jit_retrieve = jit(
+            "retrieve", lambda db, sig: pg_mod.retrieve_candidates(db, pg_cfg, sig)
+        )
+        self._jit_add_kf = jit(
+            "add_kf",
+            lambda db, *a, **kw: pg_mod.add_keyframe(db, pg_cfg, *a, **kw),
+        )
+        self._jit_verify = jit(
+            "verify",
+            lambda db, cand, wdesc, w3d, wv, p, q, key, q_ic, p_ic: (
+                pg_mod.verify_loop(
+                    db, pg_cfg, cand, wdesc, w3d, wv, p, q, key,
+                    q_ic=q_ic, p_ic=p_ic,
+                )
+            ),
+        )
+        lift = lambda xy: cam_mod.lift(self.cam, xy)
+        self._jit_extract = jit(
+            "extract_kf",
+            lambda img, wxy, wvalid: pg_mod.extract_keyframe_features(
+                img, lift, pg_cfg, window_xy=(wxy, wvalid)
+            ),
+        )
+        self._jit_window_points = jit("window_points", self._window_points_impl)
+        if self.use_selector:
+            self._jit_select = jit("select", self._select_impl)
+        if self.fusion_cfg is not None:
+            fusion_cfg = self.fusion_cfg
+            self._jit_input_gps = jit("input_gps", gf_mod.input_gps)
+            self._jit_fusion_opt = jit(
+                "fusion_opt", lambda s: gf_mod.optimize(s, fusion_cfg)
+            )
+            self._jit_input_odom = jit(
+                "input_odom",
+                lambda s, p, q: gf_mod.input_odom(s, fusion_cfg, p, q),
+            )
 
     # ------------------------------------------------------------------ API
     def add_imu(self, t, acc, gyr):
@@ -108,10 +191,10 @@ class SlamSystem:
         if self._gps_origin is None:
             self._gps_origin = (lat, lon, alt)
         enu = gf_mod.geodetic_to_enu(lat, lon, alt, *self._gps_origin)
-        self.fusion = jax.jit(gf_mod.input_gps)(self.fusion, enu, jnp.asarray(accuracy, self.dtype))
-        self.fusion, _ = jax.jit(
-            lambda s: gf_mod.optimize(s, self.fusion_cfg)
-        )(self.fusion)
+        self.fusion = self._jit_input_gps(
+            self.fusion, enu, jnp.asarray(accuracy, self.dtype)
+        )
+        self.fusion, _ = self._jit_fusion_opt(self.fusion)
 
     def new_sequence(self):
         """Start a new sequence after a stream discontinuity or reboot
@@ -133,6 +216,8 @@ class SlamSystem:
         fixed in the 4-DoF PGO)."""
         db = pg_mod.load_db(path)
         self.db = db._replace(seq=jnp.zeros_like(db.seq))
+        self._db_count = int(db.count)
+        self._db_seqs = [0] * self._db_count
 
     def add_image(self, t, img) -> Optional[SystemOutput]:
         """Process one grayscale frame [H, W] in [0,1]."""
@@ -151,7 +236,21 @@ class SlamSystem:
                 ln_ids=lines.ids, ln_obs=lines.endpoints,
                 ln_vps=lines.vp_dirs, ln_vp_valid=lines.vp_valid,
             )
-        out = self.vio.add_frame(t, feats.ids, feats.rays, **ln_kwargs)
+        ids, rays = feats.ids, feats.rays
+        if self.use_selector and self.vio.initialized and len(self.vio._imu_acc) >= 2:
+            acc_mean = jnp.asarray(
+                np.mean(np.stack(self.vio._imu_acc), axis=0), self.dtype
+            )
+            gyr_mean = jnp.asarray(
+                np.mean(np.stack(self.vio._imu_gyr), axis=0), self.dtype
+            )
+            dt = t - (self.vio.last_frame_time or t - 0.1)
+            ids = self._jit_select(
+                jnp.asarray(ids, jnp.int32), jnp.asarray(rays, self.dtype),
+                self.vio.state, self.vio.data,
+                acc_mean, gyr_mean, jnp.asarray(dt, self.dtype),
+            )
+        out = self.vio.add_frame(t, ids, rays, **ln_kwargs)
         if out is None or not self.vio.initialized:
             return None
 
@@ -160,14 +259,14 @@ class SlamSystem:
         # (relo_relative_pose -> updateKeyFrameLoop parity)
         if self._pending_relo is not None and bool(out.relo_valid):
             k_cur, k_old = self._pending_relo
-            self.db = pg_mod.record_loop(
-                self.db, k_cur, k_old,
+            self.db = self._jit_record_loop(
+                self.db, jnp.asarray(k_cur), jnp.asarray(k_old),
                 jnp.asarray(out.relo_rel_t), jnp.asarray(out.relo_rel_yaw),
             )
             self._run_pgo()
             loop_closed = True
         self._pending_relo = None
-        if self.use_loop and bool(out.is_keyframe):
+        if self.use_loop and bool(out.is_keyframe) and self._kf_throttle(out):
             loop_closed = self._process_keyframe(t, img, out, feats) or loop_closed
 
         from ..utils.geometry import rot_to_quat
@@ -181,9 +280,11 @@ class SlamSystem:
             quat_mul(rot_to_quat(jnp.asarray(R_bd, self.dtype)), out.q)
         )
         if self.fusion is not None:
-            self.fusion = jax.jit(
-                lambda s, p, q: gf_mod.input_odom(s, self.fusion_cfg, p, q)
-            )(self.fusion, jnp.asarray(p_corr, self.dtype), jnp.asarray(q_corr, self.dtype))
+            self.fusion = self._jit_input_odom(
+                self.fusion,
+                jnp.asarray(p_corr, self.dtype),
+                jnp.asarray(q_corr, self.dtype),
+            )
         return SystemOutput(
             t=t, p_vio=p_vio, q_vio=q_vio, p_corrected=p_corr,
             q_corrected=q_corr, is_keyframe=bool(out.is_keyframe),
@@ -191,19 +292,37 @@ class SlamSystem:
         )
 
     # ------------------------------------------------------- loop closure
+    def _kf_throttle(self, out) -> bool:
+        """SKIP_CNT/SKIP_DIS keyframe throttling (pose_graph_node.cpp:294-336):
+        pass every (skip_cnt+1)-th VIO keyframe that has moved skip_dis."""
+        cfg = self.pg_cfg
+        if cfg.skip_cnt > 0:
+            self._kf_skip_count += 1
+            if self._kf_skip_count <= cfg.skip_cnt:
+                return False
+        if cfg.skip_dis > 0.0 and self._last_kf_p is not None:
+            if np.linalg.norm(np.asarray(out.p) - self._last_kf_p) < cfg.skip_dis:
+                return False
+        self._kf_skip_count = 0
+        self._last_kf_p = np.asarray(out.p)
+        return True
+
     def _process_keyframe(self, t, img, out, feats) -> bool:
         from ..utils.geometry import rot_to_quat
 
         cfg = self.pg_cfg
-        lift = lambda xy: cam_mod.lift(self.cam, xy)
+        # capacity guard: double the DB before it would overflow (JAX clamps
+        # out-of-bounds .at[] writes silently, corrupting the last slot)
+        if self._db_count >= self.db.p_vio.shape[0]:
+            self.db = pg_mod.grow_db(self.db)
         # window points: tracked features with solved depths -> world points
-        w3d, wxy, w_valid, w_ids = self._window_points()
-        fb = pg_mod.extract_keyframe_features(
-            img, lift, cfg, window_xy=(wxy, w_valid)
+        w3d, wxy, w_valid, w_ids = self._jit_window_points(
+            self.vio.state, self.vio.data
         )
-        k = int(self.db.count)
+        fb = self._jit_extract(img, wxy, w_valid)
+        k = self._db_count
         sig = fb["sig"]
-        cand_i, cand_s = pg_mod.retrieve_candidates(self.db, cfg, sig)
+        cand_i, cand_s = jax.device_get(self._jit_retrieve(self.db, sig))
         # keyframe pose and its world points in the sequence-based map frame
         Rb = jnp.asarray(self.R_base, self.dtype)
         tb = jnp.asarray(self.t_base, self.dtype)
@@ -211,37 +330,43 @@ class SlamSystem:
         p_kf = Rb @ jnp.asarray(out.p) + tb
         q_kf = quat_mul(q_b, jnp.asarray(out.q))
         w3d = w3d @ Rb.T + tb
-        self.db = pg_mod.add_keyframe(
-            self.db, cfg, p_kf, q_kf, sig,
+        self.db = self._jit_add_kf(
+            self.db, p_kf, q_kf, sig,
             fb["desc"], fb["kp_norm"], fb["kp_valid"], fb["wdesc"], w3d, w_valid,
-            seq=self.seq,
+            seq=jnp.asarray(self.seq, jnp.int32),
         )
+        self._db_count += 1
+        self._db_seqs.append(self.seq)
         closed = False
         # candidates from other sequences/maps skip the recency check (the
         # exclusion zone only guards against trivial same-trajectory matches)
         cand = int(cand_i[0])
-        cross_seq = k > 0 and int(self.db.seq[cand]) != self.seq
+        cross_seq = k > 0 and cand < len(self._db_seqs) and (
+            self._db_seqs[cand] != self.seq
+        )
         eligible = (k > cfg.skip_recent or cross_seq) and float(
             cand_s[0]
         ) > cfg.min_score
         if eligible:
             self._key, key = jax.random.split(self._key)
-            lr = pg_mod.verify_loop(
-                self.db, cfg, cand, fb["wdesc"], w3d, w_valid,
-                p_kf, q_kf, key,
-                q_ic=self.vio.state.q_ic, p_ic=self.vio.state.p_ic,
+            lr = jax.device_get(
+                self._jit_verify(
+                    self.db, jnp.asarray(cand), fb["wdesc"], w3d, w_valid,
+                    p_kf, q_kf, key,
+                    self.vio.state.q_ic, self.vio.state.p_ic,
+                )
             )
             if bool(lr.ok):
-                self.db = pg_mod.record_loop(
-                    self.db, k, cand, lr.rel_t, lr.rel_yaw
+                self.db = self._jit_record_loop(
+                    self.db, jnp.asarray(k), jnp.asarray(cand), lr.rel_t, lr.rel_yaw
                 )
                 if cross_seq and self.seq not in self._rebased_seqs:
                     # first loop onto an older sequence/map: re-base the whole
                     # current sequence and fold the shift into the incoming
                     # base transform (pose_graph.cpp:103-124 w_r_vio/w_t_vio)
-                    self.db, (R_s, t_s) = jax.jit(
-                        lambda db: pg_mod.rebase_sequence(db, cfg, k, cand)
-                    )(self.db)
+                    self.db, (R_s, t_s) = self._jit_rebase(
+                        self.db, jnp.asarray(k), jnp.asarray(cand)
+                    )
                     R_s, t_s = np.asarray(R_s), np.asarray(t_s)
                     self.R_base = R_s @ self.R_base
                     self.t_base = R_s @ self.t_base + t_s
@@ -267,20 +392,75 @@ class SlamSystem:
         return closed
 
     def _run_pgo(self):
-        self.db, _ = jax.jit(
-            lambda db: pg_mod.optimize_4dof(db, self.pg_cfg)
-        )(self.db)
-        R_d, t_d = pg_mod.drift_correction(self.db, self.pg_cfg)
+        self.db, _ = self._jit_pgo(self.db)
+        R_d, t_d = jax.device_get(self._jit_drift(self.db))
         self.R_drift = np.asarray(R_d)
         self.t_drift = np.asarray(t_d)
 
-    def _window_points(self):
+    def _select_impl(self, ids, rays, state, data, acc_mean, gyr_mean, dt):
+        """Attention feature-selector dispatch (estimator_node.cpp:336-349 +
+        feature_selector.cpp select:71-198): tracked features pass through;
+        new features compete greedily for the remaining information budget
+        over a propagated future horizon.  Returns ids with unselected new
+        features masked to -1."""
+        from ..models import selector as sel
+
+        cfg = self.vio.cfg
+        scfg = self.selector_cfg
+        k = cfg.nf - 2  # newest solved frame after the slide
+
+        tracked = jnp.isin(ids, jnp.where(data.pt_id >= 0, data.pt_id, -2))
+        valid = ids >= 0
+        is_new = valid & ~tracked
+
+        # future horizon from the constant-IMU model (HorizonGenerator::imu)
+        ps, qs, _ = sel.propagate_horizon(
+            state.p[k], state.q[k], state.v[k], state.ba[k], state.bg[k],
+            acc_mean, gyr_mean, dt, self.vio.params.g.astype(rays.dtype),
+        )
+        omega_prior = sel.imu_prior_information(dt, scfg.acc_var)
+
+        # depth guesses from the window's solved landmarks (findNNDepth)
+        def known(slot):
+            i = data.pt_start[slot]
+            z = 1.0 / jnp.clip(data.pt_inv_depth[slot], 1e-4, 1e4)
+            Xc_anchor = data.pt_obs[slot, i] * z
+            # transform into camera k
+            q_wc_i = quat_mul(state.q[i], state.q_ic)
+            p_wc_i = state.p[i] + quat_rotate(state.q[i], state.p_ic)
+            q_wc_k = quat_mul(state.q[k], state.q_ic)
+            p_wc_k = state.p[k] + quat_rotate(state.q[k], state.p_ic)
+            Xw = quat_rotate(q_wc_i, Xc_anchor) + p_wc_i
+            Xc = quat_rotate(quat_conj(q_wc_k), Xw - p_wc_k)
+            ok = data.pt_solved[slot] & (data.pt_id[slot] >= 0) & (Xc[2] > 0.1)
+            return Xc / jnp.maximum(jnp.linalg.norm(Xc), 1e-9), Xc[2], ok
+
+        k_rays, k_depths, k_ok = jax.vmap(known)(jnp.arange(cfg.max_points))
+        unit = rays / jnp.maximum(
+            jnp.linalg.norm(rays, axis=-1, keepdims=True), 1e-9
+        )
+        depths = sel.nn_depth_guess(unit, k_rays, k_depths, k_ok)
+
+        omega_f = sel.feature_information(
+            unit, depths, is_new, ps, qs, state.q_ic, state.p_ic,
+            scfg.pix_sigma,
+        )
+        n_tracked = jnp.sum(tracked.astype(jnp.int32))
+        budget = jnp.maximum(scfg.max_features - n_tracked, 0)
+        selected, _ = sel.select_features(
+            omega_prior, omega_f, is_new, budget, scfg
+        )
+        # pass-through when few candidates (init_threshold)
+        n_cand = jnp.sum(valid.astype(jnp.int32))
+        keep = jnp.where(
+            n_cand <= scfg.init_threshold, valid, tracked | selected
+        )
+        return jnp.where(keep, ids, -1)
+
+    def _window_points_impl(self, state, data):
         """World 3D points + pixel coords of currently solved tracks (the
         keyframe's PnP anchors — pubKeyframe parity)."""
-        vio = self.vio
-        data = vio.data
-        state = vio.state
-        cfg = vio.cfg
+        cfg = self.vio.cfg
         Wp = self.pg_cfg.n_window_pts
 
         q_wc = jax.vmap(lambda q: quat_mul(q, state.q_ic))(state.q)

@@ -34,6 +34,13 @@ class SystemProfile(NamedTuple):
     lines: LineTrackerConfig | None
     td: float
     name: str
+    estimate_extrinsic: int = 1
+    estimate_td: bool = False
+    pose_graph: object = None  # PoseGraphConfig | None
+    use_loop_closure: bool = True
+    use_feature_selector: bool = False
+    selector: object = None  # SelectorConfig | None
+    use_global_fusion: bool = False
 
 
 def load_profile(path, dtype=jnp.float64) -> SystemProfile:
@@ -87,6 +94,7 @@ def load_profile(path, dtype=jnp.float64) -> SystemProfile:
         ba_iters=w.get("max_num_iterations", 8),
         line_sqrt_info=w.get("line_factor", 306.67),
         vp_sqrt_info=w.get("vp_factor", 10.0),
+        line_min_obs=w.get("line_min_obs", 5),
     )
 
     t = y.get("frontend", {})
@@ -113,9 +121,34 @@ def load_profile(path, dtype=jnp.float64) -> SystemProfile:
             use_vp=bool(lf.get("use_vp", True)),
         )
 
+    pg = y.get("pose_graph", {})
+    from ..models.pose_graph import PoseGraphConfig
+
+    pg_cfg = PoseGraphConfig(
+        n_features=pg.get("n_features", 500),  # reference keyframe.cpp:87
+        skip_cnt=pg.get("skip_cnt", 0),
+        skip_dis=pg.get("skip_dis", 0.0),
+        loop_edge_weight=pg.get("loop_edge_weight", 1.0),
+    )
+
+    s = y.get("selector", {})
+    from ..models.selector import SelectorConfig
+
+    sel_cfg = SelectorConfig(
+        max_features=s.get("max_features", 30),
+        init_threshold=s.get("init_threshold", 30),
+    )
+
     return SystemProfile(
         camera=cam, imu_params=imu_params, q_ic=q_ic, p_ic=p_ic,
         window=window, tracker=tracker, lines=lines,
         td=float(y.get("td", 0.0)),
         name=y.get("name", os.path.basename(path)),
+        estimate_extrinsic=int(y.get("estimate_extrinsic", 1)),
+        estimate_td=bool(y.get("estimate_td", False)),
+        pose_graph=pg_cfg,
+        use_loop_closure=bool(pg.get("loop_closure", True)),
+        use_feature_selector=bool(s.get("use_feature_selector", False)),
+        selector=sel_cfg,
+        use_global_fusion=bool(y.get("global_fusion", {}).get("enabled", False)),
     )

@@ -20,6 +20,34 @@ def forward_camera_extrinsic(dtype=jnp.float64):
     return geo.rot_to_quat(R_BC), jnp.asarray([0.05, 0.02, 0.03], dtype)
 
 
+def _project_segment(q_cw, p_cw, a, b, fov=(0.8, 0.55)):
+    """Project + Liang-Barsky-clip a 3D segment to the normalized FOV box.
+    Returns ([x0,y0,x1,y1], ok)."""
+    ac = np.asarray(geo.transform_point(q_cw, p_cw, a))
+    bc = np.asarray(geo.transform_point(q_cw, p_cw, b))
+    if ac[2] < 0.4 or bc[2] < 0.4:
+        return None, False
+    p0 = ac[:2] / ac[2]
+    p1 = bc[:2] / bc[2]
+    d = p1 - p0
+    t0, t1 = 0.0, 1.0
+    for dim in range(2):
+        lo, hi = -fov[dim], fov[dim]
+        if abs(d[dim]) < 1e-12:
+            if p0[dim] < lo or p0[dim] > hi:
+                return None, False
+        else:
+            ta = (lo - p0[dim]) / d[dim]
+            tb = (hi - p0[dim]) / d[dim]
+            ta, tb = min(ta, tb), max(ta, tb)
+            t0, t1 = max(t0, ta), min(t1, tb)
+    if t1 - t0 < 0.15:
+        return None, False
+    q0 = p0 + t0 * d
+    q1 = p0 + t1 * d
+    return np.asarray([q0[0], q0[1], q1[0], q1[1]]), True
+
+
 def synthetic_window(
     cfg: win_mod.WindowConfig,
     dtype=jnp.float64,
@@ -28,11 +56,16 @@ def synthetic_window(
     imu_per_interval=None,
     seed=0,
     perturb=0.0,
+    n_lines=0,
 ):
     """A fully-populated window (states at truth, tracks ingested, IMU stored,
     depths triangulated).  Returns (state, data, params)."""
     traj = syn.figure8_trajectory()
     X = syn.scatter_landmarks(n_landmarks, seed=seed, box=((-4, 4), (-4, 4), (-1, 3)))
+    segs3d = np.asarray(syn.scatter_lines(n_lines, seed=seed + 3)) if n_lines else None
+    if n_lines:
+        dirs3d = segs3d[:, 1] - segs3d[:, 0]
+        dirs3d = dirs3d / np.linalg.norm(dirs3d, axis=1, keepdims=True)
     params = imu_mod.default_params(dtype)
     q_ic, p_ic = forward_camera_extrinsic(dtype)
 
@@ -61,8 +94,39 @@ def synthetic_window(
         rays[:, 2] = 1.0
         ids[: len(sel)] = sel
         rays[: len(sel), :2] = np.asarray(uv)[sel]
+        ln_args = ()
+        if n_lines:
+            L = cfg.max_lines
+            ln_ids = np.full(L, -1, np.int32)
+            ln_obs = np.zeros((L, 4))
+            ln_vps = np.zeros((L, 3))
+            ln_vps[:, 2] = 1.0
+            ln_vpv = np.zeros(L, bool)
+            m = 0
+            for li in range(len(segs3d)):
+                if m >= L - 1:
+                    break
+                e, ok_seg = _project_segment(
+                    q_cw, p_cw,
+                    jnp.asarray(segs3d[li, 0], dtype),
+                    jnp.asarray(segs3d[li, 1], dtype),
+                )
+                if ok_seg:
+                    ln_ids[m] = li
+                    ln_obs[m] = e
+                    d_c = np.asarray(
+                        geo.quat_rotate(q_cw, jnp.asarray(dirs3d[li], dtype))
+                    )
+                    if abs(d_c[2]) > 0.1:
+                        ln_vps[m] = d_c * np.sign(d_c[2])
+                        ln_vpv[m] = li % 4 < 3
+                    m += 1
+            ln_args = (
+                jnp.asarray(ln_ids), jnp.asarray(ln_obs, dtype),
+                jnp.asarray(ln_vps, dtype), jnp.asarray(ln_vpv),
+            )
         data = ingest_frame(
-            data, cfg, k, jnp.asarray(ids), jnp.asarray(rays, dtype)
+            data, cfg, k, jnp.asarray(ids), jnp.asarray(rays, dtype), *ln_args
         )
         if k > 0:
             ts = jnp.linspace(times[k - 1], t, n_imu + 1).astype(dtype)
@@ -74,6 +138,8 @@ def synthetic_window(
             mask = jnp.concatenate([jnp.ones(n_imu, bool), jnp.zeros(pad, bool)])
             data = set_imu_interval(data, k - 1, dts, accs, gyrs, mask, params=params)
     data = win_mod.triangulate_points(state, data, cfg)
+    if n_lines:
+        data = win_mod.triangulate_lines(state, data, cfg)
 
     if perturb:
         rng = np.random.default_rng(seed + 7)
