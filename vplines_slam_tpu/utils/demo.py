@@ -1,6 +1,16 @@
-"""Builders for pre-filled synthetic windows (bench / graft-entry / tests)."""
+"""Builders for pre-filled synthetic windows (bench / graft-entry / tests).
+
+Performance note: this builder used to dispatch hundreds of tiny eager JAX
+ops per frame (slot ingestion, per-segment projection, per-interval
+preintegration), which cost minutes on a virtual 8-device CPU backend.  All
+device work is now grouped into a handful of jitted programs (batched frame
+projection, one ingest program reused across frames, one IMU-interval
+program) so the builder is trace-cache-bound, not dispatch-bound.
+"""
 
 from __future__ import annotations
+
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -20,11 +30,48 @@ def forward_camera_extrinsic(dtype=jnp.float64):
     return geo.rot_to_quat(R_BC), jnp.asarray([0.05, 0.02, 0.03], dtype)
 
 
-def _project_segment(q_cw, p_cw, a, b, fov=(0.8, 0.55)):
-    """Project + Liang-Barsky-clip a 3D segment to the normalized FOV box.
-    Returns ([x0,y0,x1,y1], ok)."""
-    ac = np.asarray(geo.transform_point(q_cw, p_cw, a))
-    bc = np.asarray(geo.transform_point(q_cw, p_cw, b))
+# jitted once per (shapes, cfg) signature; reused across the frame loop and
+# across calls with the same window configuration
+_ingest_jit = jax.jit(ingest_frame, static_argnums=(1,))
+_imu_jit = jax.jit(set_imu_interval)
+_tri_pts_jit = jax.jit(win_mod.triangulate_points, static_argnums=(2,))
+_tri_lns_jit = jax.jit(win_mod.triangulate_lines, static_argnums=(2,))
+
+
+@jax.jit
+def _batched_frame_obs(qs_wb, ps_wb, X, q_ic, p_ic):
+    """Camera-frame geometry for every window frame in ONE program.
+
+    Returns per-frame uv [nf,N,2], vis [nf,N], and the camera-from-world
+    poses (q_cw [nf,4], p_cw [nf,3])."""
+
+    def one(q_wb, p_wb):
+        q_cw, p_cw = geo.pose_inverse(*geo.pose_compose(q_wb, p_wb, q_ic, p_ic))
+        Xc = jax.vmap(lambda x: geo.transform_point(q_cw, p_cw, x))(X)
+        uv = Xc[:, :2] / Xc[:, 2:3]
+        vis = (Xc[:, 2] > 0.5) & (jnp.abs(uv[:, 0]) < 0.8) & (jnp.abs(uv[:, 1]) < 0.55)
+        return uv, vis, q_cw, p_cw
+
+    return jax.vmap(one)(qs_wb, ps_wb)
+
+
+@jax.jit
+def _batched_segments(q_cw, p_cw, seg_a, seg_b, dirs):
+    """Segment endpoints + line directions in every camera frame, one program.
+    Returns ac [nf,S,3], bc [nf,S,3], d_c [nf,S,3]."""
+
+    def one(q, p):
+        ac = jax.vmap(lambda x: geo.transform_point(q, p, x))(seg_a)
+        bc = jax.vmap(lambda x: geo.transform_point(q, p, x))(seg_b)
+        dc = jax.vmap(lambda v: geo.quat_rotate(q, v))(dirs)
+        return ac, bc, dc
+
+    return jax.vmap(one)(q_cw, p_cw)
+
+
+def _clip_segment_np(ac, bc, fov=(0.8, 0.55)):
+    """Liang-Barsky clip of a camera-frame 3D segment to the normalized FOV
+    box (host-side float math on tiny arrays).  Returns ([x0,y0,x1,y1], ok)."""
     if ac[2] < 0.4 or bc[2] < 0.4:
         return None, False
     p0 = ac[:2] / ac[2]
@@ -69,31 +116,54 @@ def synthetic_window(
     params = imu_mod.default_params(dtype)
     q_ic, p_ic = forward_camera_extrinsic(dtype)
 
-    state = win_mod.empty_state(cfg, dtype)._replace(q_ic=q_ic, p_ic=p_ic)
-    data = win_mod.empty_tracks(cfg, dtype)
     nf = cfg.nf
     n_imu = imu_per_interval or min(cfg.max_imu, int(frame_dt * 200))
-    times = [frame_dt * k for k in range(nf)]
-    for k, t in enumerate(times):
-        q_wb = traj.quat(t).astype(dtype)
-        p_wb = traj.pos(t).astype(dtype)
-        state = state._replace(
-            p=state.p.at[k].set(p_wb),
-            q=state.q.at[k].set(q_wb),
-            v=state.v.at[k].set(syn.world_velocity(traj, t).astype(dtype)),
+    times = np.asarray([frame_dt * k for k in range(nf)])
+
+    # ground-truth states and per-frame projections, each in one program
+    ts = jnp.asarray(times, dtype)
+    qs_wb = jax.vmap(lambda t: traj.quat(t).astype(dtype))(ts)
+    ps_wb = jax.vmap(lambda t: traj.pos(t).astype(dtype))(ts)
+    vs_wb = jax.vmap(lambda t: syn.world_velocity(traj, t).astype(dtype))(ts)
+    Xd = jnp.asarray(np.asarray(X), dtype)
+    uv_all, vis_all, q_cw_all, p_cw_all = _batched_frame_obs(
+        qs_wb, ps_wb, Xd, q_ic, p_ic
+    )
+    uv_np = np.asarray(uv_all)
+    vis_np = np.asarray(vis_all)
+
+    if n_lines:
+        ac_all, bc_all, dc_all = _batched_segments(
+            q_cw_all, p_cw_all,
+            jnp.asarray(segs3d[:, 0], dtype), jnp.asarray(segs3d[:, 1], dtype),
+            jnp.asarray(dirs3d, dtype),
         )
-        q_cw, p_cw = geo.pose_inverse(*geo.pose_compose(q_wb, p_wb, q_ic, p_ic))
-        Xc = jax.vmap(lambda x: geo.transform_point(q_cw, p_cw, x.astype(dtype)))(X.astype(dtype))
-        uv = Xc[:, :2] / Xc[:, 2:3]
-        vis = np.asarray(
-            (Xc[:, 2] > 0.5) & (jnp.abs(uv[:, 0]) < 0.8) & (jnp.abs(uv[:, 1]) < 0.55)
-        )
-        sel = np.flatnonzero(vis)[: cfg.max_points - 4]
+        ac_np, bc_np, dc_np = map(np.asarray, (ac_all, bc_all, dc_all))
+
+    state = win_mod.empty_state(cfg, dtype)._replace(
+        q_ic=q_ic, p_ic=p_ic, p=ps_wb, q=qs_wb, v=vs_wb
+    )
+    data = win_mod.empty_tracks(cfg, dtype)
+
+    # all IMU sampling in one call: [(nf-1) x (n_imu+1)] sample times
+    seg_times = np.stack(
+        [np.linspace(times[k], times[k + 1], n_imu + 1) for k in range(nf - 1)]
+    )
+    accs_all, gyrs_all = syn.imu_samples(traj, jnp.asarray(seg_times.ravel(), dtype))
+    accs_all = np.asarray(accs_all).reshape(nf - 1, n_imu + 1, 3)
+    gyrs_all = np.asarray(gyrs_all).reshape(nf - 1, n_imu + 1, 3)
+    pad = cfg.max_imu - n_imu
+    imu_mask = jnp.asarray(
+        np.concatenate([np.ones(n_imu, bool), np.zeros(pad, bool)])
+    )
+
+    for k in range(nf):
+        sel = np.flatnonzero(vis_np[k])[: cfg.max_points - 4]
         ids = np.full(cfg.max_points, -1, np.int32)
         rays = np.zeros((cfg.max_points, 3))
         rays[:, 2] = 1.0
         ids[: len(sel)] = sel
-        rays[: len(sel), :2] = np.asarray(uv)[sel]
+        rays[: len(sel), :2] = uv_np[k][sel]
         ln_args = ()
         if n_lines:
             L = cfg.max_lines
@@ -106,17 +176,11 @@ def synthetic_window(
             for li in range(len(segs3d)):
                 if m >= L - 1:
                     break
-                e, ok_seg = _project_segment(
-                    q_cw, p_cw,
-                    jnp.asarray(segs3d[li, 0], dtype),
-                    jnp.asarray(segs3d[li, 1], dtype),
-                )
+                e, ok_seg = _clip_segment_np(ac_np[k, li], bc_np[k, li])
                 if ok_seg:
                     ln_ids[m] = li
                     ln_obs[m] = e
-                    d_c = np.asarray(
-                        geo.quat_rotate(q_cw, jnp.asarray(dirs3d[li], dtype))
-                    )
+                    d_c = dc_np[k, li]
                     if abs(d_c[2]) > 0.1:
                         ln_vps[m] = d_c * np.sign(d_c[2])
                         ln_vpv[m] = li % 4 < 3
@@ -125,21 +189,20 @@ def synthetic_window(
                 jnp.asarray(ln_ids), jnp.asarray(ln_obs, dtype),
                 jnp.asarray(ln_vps, dtype), jnp.asarray(ln_vpv),
             )
-        data = ingest_frame(
+        data = _ingest_jit(
             data, cfg, k, jnp.asarray(ids), jnp.asarray(rays, dtype), *ln_args
         )
         if k > 0:
-            ts = jnp.linspace(times[k - 1], t, n_imu + 1).astype(dtype)
-            accs, gyrs = syn.imu_samples(traj, ts)
-            pad = cfg.max_imu - n_imu
-            dts = jnp.concatenate([jnp.diff(ts), jnp.zeros(pad, dtype)])
-            accs = jnp.concatenate([accs.astype(dtype), jnp.zeros((pad, 3), dtype)])
-            gyrs = jnp.concatenate([gyrs.astype(dtype), jnp.zeros((pad, 3), dtype)])
-            mask = jnp.concatenate([jnp.ones(n_imu, bool), jnp.zeros(pad, bool)])
-            data = set_imu_interval(data, k - 1, dts, accs, gyrs, mask, params=params)
-    data = win_mod.triangulate_points(state, data, cfg)
+            dts = np.concatenate([np.diff(seg_times[k - 1]), np.zeros(pad)])
+            accs = np.concatenate([accs_all[k - 1], np.zeros((pad, 3))])
+            gyrs = np.concatenate([gyrs_all[k - 1], np.zeros((pad, 3))])
+            data = _imu_jit(
+                data, k - 1, jnp.asarray(dts, dtype), jnp.asarray(accs, dtype),
+                jnp.asarray(gyrs, dtype), imu_mask, params=params,
+            )
+    data = _tri_pts_jit(state, data, cfg)
     if n_lines:
-        data = win_mod.triangulate_lines(state, data, cfg)
+        data = _tri_lns_jit(state, data, cfg)
 
     if perturb:
         rng = np.random.default_rng(seed + 7)
