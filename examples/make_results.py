@@ -1,13 +1,20 @@
 #!/usr/bin/env python
 """Regenerate RESULTS.md: synthetic ATE across noise levels and feature
-configurations (points / +lines / +VP), plus a loop-closure run through the
-full image pipeline.  TUM trajectory files land in results/.
+configurations (points / +lines / +VP), plus the REFERENCE system's own
+EuRoC accuracy extracted from its captured trajectories.  TUM trajectory
+files land in results/.
 
 Usage:  python examples/make_results.py  [--quick]
 
 This is the round-persistent accuracy artifact the round-1 verdict asked
-for (no EuRoC dataset exists in this environment; the synthetic harness is
-the accuracy evidence, with the same bounds the e2e tests enforce).
+for.  No EuRoC image dataset exists in this environment, so our own ATE
+evidence is synthetic (same bounds the e2e tests enforce) — but the
+reference repo ships captured runs (`relust/odom.txt`, a concatenation of
+several real sessions) AND ground truth for 7 EuRoC sequences
+(`benchmark_publisher/config/*/data.csv`), so the reference's OWN EuRoC
+ATE numbers — the parity target BASELINE.json says must be "produced by
+running/evaluating" the reference — are computed here by associating each
+captured run with its GT sequence.
 """
 
 import argparse
@@ -16,6 +23,14 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Accuracy harness, not a perf harness: run on CPU so the real chip stays
+# free for bench.py (the hosted TPU plugin ignores JAX_PLATFORMS, so this
+# must go through jax.config — see utils/hostplatform.py).
+if not os.environ.get("VPL_TPU"):
+    from vplines_slam_tpu.utils.hostplatform import force_cpu
+
+    force_cpu()
 
 import jax
 import jax.numpy as jnp
@@ -131,6 +146,53 @@ def run_vio(duration, pix_noise, use_lines, use_vp, seed=0):
     return ate, (np.asarray(est_t), np.stack(est_p), np.stack(est_q))
 
 
+def eval_reference_euroc(ref_root="/root/reference"):
+    """Split the reference's captured `relust/odom.txt` (a concatenation of
+    multiple sessions: custom-rig Dec-2022 runs + EuRoC runs) into contiguous
+    runs and score every run that overlaps a shipped EuRoC ground-truth CSV.
+
+    Reference provenance: trajectory dump `relust/odom.txt` (TUM format,
+    written by the estimator's output_path sink, euroc_config.yaml:6); GT from
+    `benchmark_publisher/config/<seq>/data.csv` (17-col EuRoC state GT, parsed
+    the way benchmark_publisher_node.cpp:33-52 does).  Returns rows of
+    (sequence, n_matched, duration_s, ate_se3_m, ate_sim3_m).
+    """
+    odom_path = os.path.join(ref_root, "relust", "odom.txt")
+    gt_dir = os.path.join(ref_root, "benchmark_publisher", "config")
+    if not (os.path.isfile(odom_path) and os.path.isdir(gt_dir)):
+        return []
+    odom = np.loadtxt(odom_path)
+    t = odom[:, 0]
+    jumps = np.flatnonzero(np.abs(np.diff(t)) > 5.0)
+    starts = np.concatenate([[0], jumps + 1]).astype(int)
+    ends = np.concatenate([jumps + 1, [len(t)]]).astype(int)
+
+    gts = {}
+    for seq in sorted(os.listdir(gt_dir)):
+        csv = os.path.join(gt_dir, seq, "data.csv")
+        if os.path.isfile(csv):
+            g = np.loadtxt(csv, delimiter=",", skiprows=1)
+            gts[seq] = (g[:, 0] * 1e-9, g[:, 1:4])
+
+    rows = []
+    for s, e in zip(starts, ends):
+        run_t, run_p = t[s:e], odom[s:e, 1:4]
+        dur = run_t[-1] - run_t[0]
+        if dur < 60.0:  # skip restart fragments / aborted sessions
+            continue
+        for seq, (tg, pg) in gts.items():
+            if run_t[0] > tg[-1] or run_t[-1] < tg[0]:
+                continue
+            ia, ib = ev.associate(run_t, tg, max_dt=0.01)
+            if len(ia) < 0.5 * len(run_t):
+                continue
+            est, ref = run_p[ia], pg[ib]
+            ate = ev.ate_rmse(est, ref, align=True)
+            ate_s = ev.ate_rmse(est, ref, align=True, with_scale=True)
+            rows.append((seq, len(ia), dur, ate, ate_s))
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="4 s sequences")
@@ -178,6 +240,33 @@ def main():
         )
         for cname, nz, ate, n, _ in rows:
             f.write(f"| {cname} | {nz:g} px | {ate:.4f} | {n} |\n")
+
+        ref_rows = eval_reference_euroc()
+        if ref_rows:
+            f.write(
+                "\n## Reference system's own EuRoC accuracy (the parity "
+                "target)\n\n"
+                "The reference publishes no ATE table, but its repo ships "
+                "captured runs (`relust/odom.txt`) and EuRoC ground truth "
+                "(`benchmark_publisher/config/*/data.csv`).  Associating "
+                "each captured run with GT (nearest stamp ≤10 ms) gives the "
+                "reference's OWN accuracy on the sequences it was run on — "
+                "computed by `eval_reference_euroc()` in this script:\n\n"
+                "| sequence | matched poses | duration | ATE RMSE SE(3) | "
+                "ATE RMSE Sim(3) |\n|---|---|---|---|---|\n"
+            )
+            for seq, n, dur, ate, ate_s in ref_rows:
+                f.write(
+                    f"| {seq} | {n} | {dur:.0f} s | {ate:.3f} m | "
+                    f"{ate_s:.3f} m |\n"
+                )
+            f.write(
+                "\nThese are full-difficulty sequences (V1_03/V2_03 are the "
+                "hardest in EuRoC); the 0.07–0.18 m VINS-Mono band in "
+                "BASELINE.md comes from the easier MH/V1 sequences with loop "
+                "closure.  The numbers above are raw VIO odometry (no "
+                "pose-graph correction in `odom.txt`).\n"
+            )
         f.write("\nGenerated: " + time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime()) + "\n")
     print(f"wrote {os.path.abspath(md)}")
 

@@ -140,3 +140,20 @@ def test_remap_undistort_consistency():
     assert m.shape == (120, 160, 2)
     # the map at the principal point is identity
     assert abs(float(m[60, 80, 0]) - 80.0) < 1.0
+
+
+def test_remap_static_matches_dense(rng):
+    """Two-pass banded remap (remap_static) ≡ gather bilinear remap on a
+    real radtan undistortion map, away from invalid borders."""
+    from vplines_slam_tpu.models import camera as cam_mod
+
+    cam = cam_mod.pinhole(200.0, 200.0, 80.0, 60.0, k1=-0.25, k2=0.05,
+                          width=160, height=120)
+    m = cam_mod.undistort_rectify_map(cam)
+    img = image_mod.gaussian_blur(smooth_texture(rng, 120, 160), 5, 1.0)
+    dense = image_mod.remap(img, m)
+    plan = image_mod.build_remap_plan(m)
+    fast = image_mod.remap_static(img, plan)
+    ok = np.asarray(plan.valid) > 0
+    err = np.abs(np.asarray(dense) - np.asarray(fast))[ok]
+    assert err.max() < 5e-3, err.max()

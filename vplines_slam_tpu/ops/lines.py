@@ -9,12 +9,18 @@ vector machine.  TPU formulation:
 1. Scharr gradients -> magnitude + level-line direction (one conv pass).
 2. Anchor extraction: directional local maxima above threshold (one
    vectorized compare; EdgeDrawing anchor semantics).
-3. Segment growth: every selected anchor walks the level-line direction in
-   BOTH directions with a fixed-length masked ``lax.scan`` (all anchors in
-   parallel), accumulating support length and line-fit moments while the
-   local direction stays aligned (EDLine's walk+fit gate).
-4. Least-squares line fit from the accumulated moments (PCA of support
-   pixels), endpoints by projection of the walk extremes.
+3. Segment support: every selected anchor probes a straight ray along its
+   level-line direction in BOTH directions — ALL ray samples for ALL anchors
+   are gathered in one batched nearest-pixel fetch, and EDLine's sequential
+   walk gate (gradient above threshold, direction aligned) becomes a prefix-
+   AND (cumulative product) along the ray.  No sequential scan: a 96-step
+   walk costs one [anchors x steps] gather instead of 96 dependent ones
+   (~10x faster on TPU, where the scan was latency-bound).
+4. Subpixel refinement: the edge's perpendicular offset at every ray sample
+   comes from a 3-tap parabolic fit of the gradient magnitude across the
+   ray ("tube" sampling at +/-1 normal); the least-squares line fit (PCA of
+   the offset-corrected support pixels) provides both the fit-error gate and
+   endpoints by projection of the support extremes.
 5. Deduplication by (θ, ρ) binning — one winner per line bin (parallel
    replacement of walk-ownership).
 
@@ -66,17 +72,20 @@ def detect_lines(img, cfg: LineDetectConfig = LineDetectConfig()):
     dx, dy, mag = _level_line_dir(gx, gy)
 
     # ---- anchors: local maxima of |grad| across the edge direction --------
-    yy = jnp.arange(H, dtype=dtype)[:, None] * jnp.ones((1, W), dtype)
-    xx = jnp.ones((H, 1), dtype) * jnp.arange(W, dtype=dtype)[None, :]
-    nx = gx / jnp.maximum(mag, 1e-12)
-    ny = gy / jnp.maximum(mag, 1e-12)
-    coords = jnp.stack([xx, yy], axis=-1)
-    mag_p = bilinear_sample(mag, coords + jnp.stack([nx, ny], -1))
-    mag_m = bilinear_sample(mag, coords - jnp.stack([nx, ny], -1))
-    is_anchor = (
-        (mag > cfg.grad_thresh)
-        & (mag >= mag_p + cfg.anchor_thresh)
-        & (mag >= mag_m + cfg.anchor_thresh)
+    # EDLine's anchor test (EdgeDrawing): compare against the two neighbors
+    # across the quantized gradient direction — left/right for vertical
+    # edges (|gx|>=|gy|), up/down for horizontal ones.  Shifted slices only;
+    # a fractional-offset bilinear probe here costs ~3M gathers per frame.
+    magp = jnp.pad(mag, 1)
+    mag_l = jax.lax.dynamic_slice(magp, (1, 0), (H, W))
+    mag_r = jax.lax.dynamic_slice(magp, (1, 2), (H, W))
+    mag_u = jax.lax.dynamic_slice(magp, (0, 1), (H, W))
+    mag_d = jax.lax.dynamic_slice(magp, (2, 1), (H, W))
+    grad_along_x = jnp.abs(gx) >= jnp.abs(gy)  # vertical edge
+    is_anchor = (mag > cfg.grad_thresh) & jnp.where(
+        grad_along_x,
+        (mag >= mag_l + cfg.anchor_thresh) & (mag >= mag_r + cfg.anchor_thresh),
+        (mag >= mag_u + cfg.anchor_thresh) & (mag >= mag_d + cfg.anchor_thresh),
     )
     # spatially-stratified anchor selection: best anchor per grid cell, then
     # top-k over cells.  Pure top-k by magnitude degenerates on real images
@@ -106,88 +115,95 @@ def detect_lines(img, cfg: LineDetectConfig = LineDetectConfig()):
         ay = jnp.concatenate([ay, jnp.zeros(padn, dtype)])
         a_ok = jnp.concatenate([a_ok, jnp.zeros(padn, bool)])
 
-    # ---- parallel growth along the level-line direction -------------------
-    def grow(px, py, sgn):
-        """Walk from (px,py); sgn=±1 chooses direction.  Returns support
-        stats: steps taken, and moment accumulators over visited pixels."""
-        d0x = bilinear_sample(dx, jnp.stack([px, py]))
-        d0y = bilinear_sample(dy, jnp.stack([px, py]))
+    # ---- straight-ray tube probe (parallel EDLine walk) -------------------
+    # Anchor directions at integer anchor pixels (stratified argmax yields
+    # integer coords, so plain indexing beats interpolation).
+    axi = ax.astype(jnp.int32)
+    ayi = ay.astype(jnp.int32)
+    d0x = dx[ayi, axi]  # [A] level-line (along-edge) unit direction
+    d0y = dy[ayi, axi]
+    n0x = -d0y  # unit normal (across the edge)
+    n0y = d0x
+    A = cfg.max_anchors
+    S = cfg.max_steps
 
-        def step(carry, _):
-            x, y, tx, ty, alive, n, sx, sy, sxx, sxy, syy = carry
-            x2 = x + sgn * tx
-            y2 = y + sgn * ty
-            m2 = bilinear_sample(mag, jnp.stack([x2, y2]))
-            ddx = bilinear_sample(dx, jnp.stack([x2, y2]))
-            ddy = bilinear_sample(dy, jnp.stack([x2, y2]))
-            # direction continuity: flip sign to the consistent hemisphere
-            flip = jnp.sign(ddx * tx + ddy * ty)
-            flip = jnp.where(flip == 0, 1.0, flip)
-            ddx = ddx * flip
-            ddy = ddy * flip
-            align = ddx * tx + ddy * ty  # cos of angle change
-            ok = (
-                alive
-                & (m2 > cfg.grad_thresh)
-                & (align > jnp.cos(cfg.angle_tol))
-                & (x2 >= 1)
-                & (x2 < W - 2)
-                & (y2 >= 1)
-                & (y2 < H - 2)
-            )
-            x = jnp.where(ok, x2, x)
-            y = jnp.where(ok, y2, y)
-            tx = jnp.where(ok, ddx, tx)
-            ty = jnp.where(ok, ddy, ty)
-            okf = ok.astype(dtype)
-            return (
-                x, y, tx, ty, ok,
-                n + okf, sx + x2 * okf, sy + y2 * okf,
-                sxx + x2 * x2 * okf, sxy + x2 * y2 * okf, syy + y2 * y2 * okf,
-            ), None
+    # sample positions: anchor ± t*d0 for t = 1..S, both signs in one batch
+    t = jnp.arange(1, S + 1, dtype=dtype)  # [S]
+    sgn = jnp.asarray([1.0, -1.0], dtype)  # [2]
+    px = ax[:, None, None] + sgn[None, :, None] * t[None, None, :] * d0x[:, None, None]
+    py = ay[:, None, None] + sgn[None, :, None] * t[None, None, :] * d0y[:, None, None]
+    # [A, 2, S] nearest-pixel indices (EDLine walks integer pixels)
+    xi = jnp.round(px).astype(jnp.int32)
+    yi = jnp.round(py).astype(jnp.int32)
+    inb = (xi >= 1) & (xi < W - 2) & (yi >= 1) & (yi < H - 2)
+    xi_c = jnp.clip(xi, 0, W - 1)
+    yi_c = jnp.clip(yi, 0, H - 1)
+    # one fused gather for (mag, dx, dy) at every ray sample
+    fields = jnp.stack([mag, dx, dy], axis=-1).reshape(H * W, 3)
+    flat_idx = (yi_c * W + xi_c).reshape(-1)
+    smp = jnp.take(fields, flat_idx, axis=0).reshape(A, 2, S, 3)
+    m_s, dx_s, dy_s = smp[..., 0], smp[..., 1], smp[..., 2]
+    # alignment with the anchor direction (|.| folds hemisphere flips)
+    align = jnp.abs(dx_s * d0x[:, None, None] + dy_s * d0y[:, None, None])
+    ok = inb & (m_s > cfg.grad_thresh) & (align > jnp.cos(cfg.angle_tol))
+    # EDLine's walk stops at the first gate failure: prefix-AND along the ray
+    alive = jnp.cumsum((~ok).astype(jnp.int32), axis=-1) == 0  # [A, 2, S]
+    av = alive.astype(dtype)
 
-        init = (
-            px, py, d0x, d0y, jnp.asarray(True),
-            jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype),
-            jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype),
-        )
-        out, _ = jax.lax.scan(step, init, None, length=cfg.max_steps)
-        x_end, y_end = out[0], out[1]
-        return x_end, y_end, out[5], out[6], out[7], out[8], out[9], out[10]
+    # subpixel perpendicular offset: parabolic peak of |grad| across the ray
+    nxi = jnp.round(px + n0x[:, None, None]).astype(jnp.int32)
+    nyi = jnp.round(py + n0y[:, None, None]).astype(jnp.int32)
+    mxi = jnp.round(px - n0x[:, None, None]).astype(jnp.int32)
+    myi = jnp.round(py - n0y[:, None, None]).astype(jnp.int32)
+    mag_flat = mag.reshape(-1)
+    m_p = jnp.take(
+        mag_flat,
+        (jnp.clip(nyi, 0, H - 1) * W + jnp.clip(nxi, 0, W - 1)).reshape(-1),
+    ).reshape(A, 2, S)
+    m_m = jnp.take(
+        mag_flat,
+        (jnp.clip(myi, 0, H - 1) * W + jnp.clip(mxi, 0, W - 1)).reshape(-1),
+    ).reshape(A, 2, S)
+    denom = m_p - 2.0 * m_s + m_m
+    delta = jnp.clip(
+        0.5 * (m_m - m_p) / jnp.where(jnp.abs(denom) > 1e-9, denom, 1e-9),
+        -1.0, 1.0,
+    )
+    qx = px + delta * n0x[:, None, None]  # offset-corrected support pixels
+    qy = py + delta * n0y[:, None, None]
 
-    def grow_both(px, py):
-        xa, ya, na, sxa, sya, sxxa, sxya, syya = grow(px, py, 1.0)
-        xb, yb, nb, sxb, syb, sxxb, sxyb, syyb = grow(px, py, -1.0)
-        n = na + nb + 1.0
-        sx = sxa + sxb + px
-        sy = sya + syb + py
-        sxx = sxxa + sxxb + px * px
-        sxy = sxya + sxyb + px * py
-        syy = syya + syyb + py * py
-        # PCA line fit from moments
-        mx = sx / n
-        my = sy / n
-        cxx = sxx / n - mx * mx
-        cxy = sxy / n - mx * my
-        cyy = syy / n - my * my
-        theta = 0.5 * jnp.arctan2(2.0 * cxy, cxx - cyy)  # major axis angle
-        ux, uy = jnp.cos(theta), jnp.sin(theta)
-        # rms orthogonal fit error = sqrt(minor eigenvalue)
-        tr = cxx + cyy
-        det = cxx * cyy - cxy * cxy
-        lam_min = tr / 2.0 - jnp.sqrt(jnp.maximum(tr * tr / 4.0 - det, 0.0))
-        fit_rms = jnp.sqrt(jnp.maximum(lam_min, 0.0))
-        # endpoints: walk extremes projected on the fitted line
-        ta = (xa - mx) * ux + (ya - my) * uy
-        tb = (xb - mx) * ux + (yb - my) * uy
-        x1 = mx + ta * ux
-        y1 = my + ta * uy
-        x2 = mx + tb * ux
-        y2 = my + tb * uy
-        length = jnp.abs(ta - tb)
-        return jnp.stack([x1, y1, x2, y2]), length, fit_rms, n
-
-    segs, lens, fits, supports = jax.vmap(grow_both)(ax, ay)
+    # ---- moments + PCA line fit (anchor contributes weight 1, offset 0) ---
+    n = 1.0 + jnp.sum(av, axis=(1, 2))  # [A]
+    sx = ax + jnp.sum(qx * av, axis=(1, 2))
+    sy = ay + jnp.sum(qy * av, axis=(1, 2))
+    sxx = ax * ax + jnp.sum(qx * qx * av, axis=(1, 2))
+    sxy = ax * ay + jnp.sum(qx * qy * av, axis=(1, 2))
+    syy = ay * ay + jnp.sum(qy * qy * av, axis=(1, 2))
+    mx = sx / n
+    my = sy / n
+    cxx = sxx / n - mx * mx
+    cxy = sxy / n - mx * my
+    cyy = syy / n - my * my
+    theta_f = 0.5 * jnp.arctan2(2.0 * cxy, cxx - cyy)  # major axis angle
+    ux = jnp.cos(theta_f)
+    uy = jnp.sin(theta_f)
+    # rms orthogonal fit error = sqrt(minor eigenvalue)
+    tr = cxx + cyy
+    det = cxx * cyy - cxy * cxy
+    lam_min = tr / 2.0 - jnp.sqrt(jnp.maximum(tr * tr / 4.0 - det, 0.0))
+    fits = jnp.sqrt(jnp.maximum(lam_min, 0.0))
+    # endpoints: support extremes projected on the fitted line
+    tq = (qx - mx[:, None, None]) * ux[:, None, None] + (
+        qy - my[:, None, None]
+    ) * uy[:, None, None]
+    t_hi = jnp.max(jnp.where(alive, tq, 0.0), axis=(1, 2))
+    t_lo = jnp.min(jnp.where(alive, tq, 0.0), axis=(1, 2))
+    segs = jnp.stack(
+        [mx + t_lo * ux, my + t_lo * uy, mx + t_hi * ux, my + t_hi * uy],
+        axis=-1,
+    )
+    lens = t_hi - t_lo
+    supports = n
     good = (
         a_ok
         & (lens >= cfg.min_len)
