@@ -95,32 +95,21 @@ def bench_points(jnp, jax):
     img1 = bilinear_sample(img0, jnp.stack([xx + 2.3, yy - 1.7], -1))
     pts = jnp.asarray(rng.uniform([30, 30], [W - 30, H - 30], size=(150, 2)), dtype)
 
-    def make_frontend(use_pallas):
-        kcfg = klt_mod.KLTConfig(win=21, levels=3, iters=10, use_pallas=use_pallas)
+    kcfg = klt_mod.KLTConfig(win=21, levels=3, iters=10)
 
-        @jax.jit
-        def frontend(img0, img1, pts):
-            pts1, ok, _ = klt_mod.track(img0, img1, pts, kcfg)
-            xy, score, valid = corners_mod.detect(
-                img1, max_corners=64, min_dist=30, existing_xy=pts1, existing_mask=ok
-            )
-            return pts1, ok, xy, valid
-
-        return frontend
+    @jax.jit
+    def frontend(img0, img1, pts):
+        pts1, ok, _ = klt_mod.track(img0, img1, pts, kcfg)
+        xy, score, valid = corners_mod.detect(
+            img1, max_corners=64, min_dist=30, existing_xy=pts1, existing_mask=ok
+        )
+        return pts1, ok, xy, valid
 
     # distinct inputs per timed call (remote backends memoize identical work)
     base = np.asarray(pts)
     ptss = [jnp.asarray(base + i * 1e-3, dtype) for i in range(44)]
 
-    fe_xla = make_frontend(False)
-    t_fe = timeit(lambda i: fe_xla(img0, img1, ptss[i]))
-    t_fe_pallas = None
-    try:
-        fe_p = make_frontend(True)
-        t_fe_pallas = timeit(lambda i: fe_p(img0, img1, ptss[i]))
-    except Exception as e:  # pragma: no cover
-        print(f"pallas frontend unavailable: {e}", file=sys.stderr)
-    frontend = fe_xla if (t_fe_pallas is None or t_fe <= t_fe_pallas) else fe_p
+    t_fe = timeit(lambda i: frontend(img0, img1, ptss[i]))
 
     cfg = win_mod.WindowConfig(max_points=128, max_lines=16, max_imu=32)
     state, data, params = demo.synthetic_window(
@@ -166,7 +155,10 @@ def bench_points(jnp, jax):
     return {
         "points_fps": round(fps, 2),
         "frontend_ms_xla": round(t_fe * 1e3, 2),
-        "frontend_ms_pallas": round(t_fe_pallas * 1e3, 2) if t_fe_pallas else None,
+        # r03 decision: the hand-written Pallas KLT kernel was benchmarked
+        # and deleted — XLA superset extraction wins (0.18 vs 0.58 ms/pass
+        # on-device); measurements in docs/PERF.md.
+        "frontend_pallas": "deleted-r03-xla-wins (docs/PERF.md)",
         "ba_ms": round(t_ba * 1e3, 2),
         "ba_mfu_pct": round(ba_mfu, 3) if ba_mfu else None,
     }

@@ -26,10 +26,19 @@ class KLTConfig(NamedTuple):
     win: int = 21  # patch side (reference 21x21)
     levels: int = 3  # pyramid levels (reference 3)
     iters: int = 10  # fixed iterations per level (reference: 30 max w/ eps)
-    min_eig: float = 1e-4  # spatial-gradient conditioning threshold
+    # spatial-gradient conditioning threshold.  OpenCV's minEigThreshold
+    # default (1e-4) applies to 0..255-scale intensities; on [0,1] images the
+    # same physical gate scales by 1/255^2 ~ 1.5e-9.  1e-6 keeps a stricter-
+    # than-OpenCV guard while not freezing low-contrast (dark EuRoC) patches.
+    min_eig: float = 1e-6
     max_residual: float = 0.08  # mean abs photometric residual gate ([0,1] images)
     illum_adapt: bool = False  # per-patch gain/bias (line-matcher KLT mode)
-    use_pallas: bool = False  # TPU kernel path (ops/klt_pallas); no illum_adapt
+    # A hand-written Pallas patch kernel was benchmarked and DELETED in r03:
+    # per-feature programs pay ~1 us each (512 features -> 0.58 ms/pass) and
+    # Mosaic's (8,128) alignment rules force aligned-superset loads + rolls,
+    # while the XLA row-gather + one-hot-matmul superset path costs 0.18 ms/
+    # pass and fuses with the rest of the tracker.  See docs/PERF.md.
+    use_pallas: bool = False  # retained for config compat; XLA path always wins
 
 
 def _patch_coords(center, win, dtype):
@@ -66,64 +75,190 @@ def extract_patch(img, center, win):
     )
 
 
+def _take_row_strips(img, y0, S):
+    """[N, S, W] row strips starting at integer rows y0 (pre-clamped).
+
+    A contiguous-row gather: the only full-image access in the tracker.
+    """
+    N = y0.shape[0]
+    rows = y0[:, None] + jnp.arange(S, dtype=y0.dtype)[None, :]
+    # clip: coarse pyramid levels can be smaller than the window (old gather
+    # clamped too; the duplicated border rows have no gradient -> no update)
+    return jnp.take(img, rows.reshape(-1), axis=0, mode="clip").reshape(
+        N, S, img.shape[1]
+    )
+
+
+def extract_windows(img, y0, x0, S):
+    """[N, S, S] integer-aligned windows at top-left (y0, x0), both [N] int32
+    pre-clamped to keep the window inside the image.
+
+    Row gather + one-hot column matmul: ~4x faster than a vmapped
+    dynamic_slice gather on TPU (row gathers are contiguous DMAs, the column
+    select rides the MXU)."""
+    strips = _take_row_strips(img, y0, S)
+    ww = jnp.arange(img.shape[1], dtype=jnp.int32)
+    Pc = (
+        (ww[None, :, None] - x0[:, None, None])
+        == jnp.arange(S, dtype=jnp.int32)[None, None, :]
+    ).astype(img.dtype)
+    return jnp.einsum("nsw,nwc->nsc", strips, Pc,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def _grad_inwin(w):
+    """Scharr gradients inside [N, S, S] windows via roll shifts (valid on
+    the interior; callers keep a 1px margin)."""
+    sm = (3.0 / 32.0, 10.0 / 32.0, 3.0 / 32.0)
+    df = (-1.0, 0.0, 1.0)
+
+    def corr(a, taps, axis):
+        out = None
+        for i, t in enumerate(taps):
+            t = float(t)
+            if t == 0.0:
+                continue
+            term = t * jnp.roll(a, 1 - i, axis=axis)
+            out = term if out is None else out + term
+        return out
+
+    gx = corr(corr(w, sm, 1), df, 2)
+    gy = corr(corr(w, df, 1), sm, 2)
+    return gx, gy
+
+
+def _inwin_extract(wins, tlx, tly, P):
+    """Bilinear [N, C, P, P] patches from [N, C, S, S] windows at fractional
+    local top-left (tlx, tly) [N], as two-tap one-hot matmuls (batched MXU
+    work; ~8x faster than a vmapped dynamic-slice gather on TPU)."""
+    S = wins.shape[-1]
+    dtype = wins.dtype
+    fy = jnp.floor(tly)
+    wy = (tly - fy)[:, None, None]
+    fx = jnp.floor(tlx)
+    wx = (tlx - fx)[:, None, None]
+    s = jnp.arange(S, dtype=dtype)
+    p = jnp.arange(P, dtype=dtype)
+    ry = s[None, None, :] - (fy[:, None, None] + p[None, :, None])  # [N,P,S]
+    Pr = (ry == 0) * (1.0 - wy) + (ry == 1) * wy
+    rx = s[None, None, :] - (fx[:, None, None] + p[None, :, None])
+    Pc = (rx == 0) * (1.0 - wx) + (rx == 1) * wx
+    tmp = jnp.einsum("nps,ncsw->ncpw", Pr.astype(dtype), wins,
+                     precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("ncpw,nqw->ncpq", tmp, Pc.astype(dtype),
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def _gain_bias(I, T):
+    """Per-patch gain/bias illumination fit I' = alpha*I + beta matched to
+    template stats (line-matcher KLT mode, getImageNormParams)."""
+    mI = jnp.mean(I, axis=(-2, -1), keepdims=True)
+    mT = jnp.mean(T, axis=(-2, -1), keepdims=True)
+    sI = jnp.std(I, axis=(-2, -1), keepdims=True) + 1e-6
+    sT = jnp.std(T, axis=(-2, -1), keepdims=True) + 1e-6
+    return (I - mI) * (sT / sI) + mT
+
+
 def _track_level(img0, img1, pts0, guess, cfg: KLTConfig, dtype):
     """One pyramid level of inverse-compositional LK for all N features.
 
     pts0: [N, 2] template centers in img0; guess: [N, 2] current flow.
     Returns (flow, ok, mean_residual).
+
+    Superset-window formulation (TPU): the template patch + its gradients
+    come from one [N, P+3, P+3] window of img0; the moving patch iterates
+    INSIDE a [N, P+11, P+11] window of img1 that is re-anchored once
+    mid-level, so the 2*iters full-image gathers of a naive port collapse
+    into 3 strip-gathers + tiny in-window matmuls (~6x on TPU, where
+    scattered gathers are the bottleneck).
     """
-    gx0, gy0 = scharr_gradients(img0)
-    # pad so patch slices never clamp (coarse levels can be smaller than the
-    # window); zero padding matches the old gather's out-of-bounds behaviour
     P = cfg.win
-    img0p = jnp.pad(img0, P)
-    img1p = jnp.pad(img1, P)
-    gx0p = jnp.pad(gx0, P)
-    gy0p = jnp.pad(gy0, P)
-    off = jnp.asarray([P, P], dtype)
+    r = (P - 1) / 2.0
+    TS = P + 3  # template superset: +1 bilinear, +2 gradient margin
+    D = 5  # in-window drift margin per round (px)
+    MS = P + 1 + 2 * D
 
-    def one(p0, d0):
-        T = extract_patch(img0p, p0 + off, cfg.win)
-        Ix = extract_patch(gx0p, p0 + off, cfg.win)
-        Iy = extract_patch(gy0p, p0 + off, cfg.win)
-        # 2x2 spatial gradient matrix (constant over iterations)
-        a = jnp.sum(Ix * Ix)
-        b = jnp.sum(Ix * Iy)
-        c = jnp.sum(Iy * Iy)
-        det = a * c - b * b
-        n = cfg.win * cfg.win
-        min_eig = (c + a - jnp.sqrt((a - c) ** 2 + 4.0 * b * b)) / (2.0 * n)
-        ok = min_eig > cfg.min_eig
-        inv = (
-            jnp.array([[c, -b], [-b, a]], dtype)
-            / jnp.where(det > 1e-12, det, 1.0)
+    # zero-pad so window anchors never clamp for in-image features (border /
+    # coarse-level patches read zeros, like the old padded gather; zero
+    # gradient there -> no spurious update)
+    E = int(r) + D + 2
+    img0 = jnp.pad(img0, E)
+    img1 = jnp.pad(img1, E)
+    pts0 = pts0 + E
+    H, W = img0.shape
+
+    # ---- template + gradients from one superset ---------------------------
+    tl0 = pts0 - r  # fractional top-left of the template patch
+    a0x = jnp.clip(jnp.floor(tl0[:, 0]).astype(jnp.int32) - 1, 0, max(W - TS, 0))
+    a0y = jnp.clip(jnp.floor(tl0[:, 1]).astype(jnp.int32) - 1, 0, max(H - TS, 0))
+    T_ss = extract_windows(img0, a0y, a0x, TS)
+    gx_ss, gy_ss = _grad_inwin(T_ss)
+    chans = jnp.stack([T_ss, gx_ss, gy_ss], axis=1)
+    ltlx = jnp.clip(tl0[:, 0] - a0x.astype(dtype), 0.0, TS - P - 1)
+    ltly = jnp.clip(tl0[:, 1] - a0y.astype(dtype), 0.0, TS - P - 1)
+    TIxIy = _inwin_extract(chans, ltlx, ltly, P)
+    T, Ix, Iy = TIxIy[:, 0], TIxIy[:, 1], TIxIy[:, 2]
+
+    # 2x2 spatial gradient matrix (constant over iterations)
+    a = jnp.sum(Ix * Ix, axis=(1, 2))
+    b = jnp.sum(Ix * Iy, axis=(1, 2))
+    c = jnp.sum(Iy * Iy, axis=(1, 2))
+    det = a * c - b * b
+    n = P * P
+    min_eig = (c + a - jnp.sqrt((a - c) ** 2 + 4.0 * b * b)) / (2.0 * n)
+    ok = min_eig > cfg.min_eig
+    inv = jnp.stack(
+        [jnp.stack([c, -b], -1), jnp.stack([-b, a], -1)], -2
+    ) / jnp.where(det > 1e-12, det, 1.0)[:, None, None]
+
+    # ---- moving-window LK iterations, re-anchored once mid-level ----------
+    d = guess
+    rounds = (cfg.iters // 2, cfg.iters - cfg.iters // 2) if cfg.iters >= 4 else (
+        cfg.iters,
+    )
+
+    def make_window(dcur):
+        ctr = pts0 + dcur
+        m0x = jnp.clip(
+            jnp.round(ctr[:, 0] - r).astype(jnp.int32) - D, 0, max(W - MS, 0)
         )
+        m0y = jnp.clip(
+            jnp.round(ctr[:, 1] - r).astype(jnp.int32) - D, 0, max(H - MS, 0)
+        )
+        return extract_windows(img1, m0y, m0x, MS)[:, None], m0x, m0y
 
-        def body(_, d):
-            I = extract_patch(img1p, p0 + d + off, cfg.win)
+    def extract_moving(M_ss, m0x, m0y, dcur):
+        tlx = jnp.clip(
+            pts0[:, 0] + dcur[:, 0] - r - m0x.astype(dtype), 0.0, MS - P - 1
+        )
+        tly = jnp.clip(
+            pts0[:, 1] + dcur[:, 1] - r - m0y.astype(dtype), 0.0, MS - P - 1
+        )
+        return _inwin_extract(M_ss, tlx, tly, P)[:, 0]
+
+    for n_it in rounds:
+        M_ss, m0x, m0y = make_window(d)
+
+        def body(_, dcur):
+            I = extract_moving(M_ss, m0x, m0y, dcur)
             if cfg.illum_adapt:
-                # gain/bias fit: I' = alpha*I + beta matched to template stats
-                mI, mT = jnp.mean(I), jnp.mean(T)
-                sI = jnp.std(I) + 1e-6
-                sT = jnp.std(T) + 1e-6
-                I = (I - mI) * (sT / sI) + mT
-            r = I - T
-            g = jnp.stack([jnp.sum(r * Ix), jnp.sum(r * Iy)])
-            # ill-conditioned patches keep their flow instead of exploding
-            step = jnp.where(ok, inv @ g, jnp.zeros(2, dtype))
-            return d - step
+                I = _gain_bias(I, T)
+            rr = I - T
+            g = jnp.stack(
+                [jnp.sum(rr * Ix, axis=(1, 2)), jnp.sum(rr * Iy, axis=(1, 2))],
+                -1,
+            )
+            step = jnp.einsum("nij,nj->ni", inv, g)
+            return dcur - jnp.where(ok[:, None], step, 0.0)
 
-        d = jax.lax.fori_loop(0, cfg.iters, body, d0)
-        I = extract_patch(img1p, p0 + d + off, cfg.win)
-        if cfg.illum_adapt:
-            mI, mT = jnp.mean(I), jnp.mean(T)
-            sI = jnp.std(I) + 1e-6
-            sT = jnp.std(T) + 1e-6
-            I = (I - mI) * (sT / sI) + mT
-        resid = jnp.mean(jnp.abs(I - T))
-        return d, ok, resid
+        d = jax.lax.fori_loop(0, n_it, body, d)
 
-    return jax.vmap(one)(pts0, guess)
+    M_ss, m0x, m0y = make_window(d)
+    I = extract_moving(M_ss, m0x, m0y, d)
+    if cfg.illum_adapt:
+        I = _gain_bias(I, T)
+    resid = jnp.mean(jnp.abs(I - T), axis=(1, 2))
+    return d, ok, resid
 
 
 def affine_from_pose(uv_px, depth, R_cr, t_cr, fx, fy, cx, cy, eps=1.0):
@@ -237,18 +372,6 @@ def track(img0, img1, pts0, cfg: KLTConfig = KLTConfig(), init_flow=None,
             flow, ok, resid = _track_level_affine(
                 pyr0[lvl], pyr1[lvl], pts0 / s, flow, affine_inv, cfg, dtype
             )
-        elif cfg.use_pallas:
-            from .image import scharr_gradients
-            from .klt_pallas import track_level_pallas
-
-            gx, gy = scharr_gradients(pyr0[lvl])
-            flow, ok, resid = track_level_pallas(
-                pyr0[lvl], pyr1[lvl], gx, gy,
-                (pts0 / s).astype(jnp.float32), flow.astype(jnp.float32),
-                win=cfg.win, iters=cfg.iters, min_eig=cfg.min_eig,
-            )
-            flow = flow.astype(dtype)
-            resid = resid.astype(dtype)
         else:
             flow, ok, resid = _track_level(
                 pyr0[lvl], pyr1[lvl], pts0 / s, flow, cfg, dtype
