@@ -147,9 +147,8 @@ def bench_points(jnp, jax):
 
     fps = 1.0 / timeit(frame)
     print(
-        f"points: frontend XLA {t_fe*1e3:.1f} ms"
-        + (f", pallas {t_fe_pallas*1e3:.1f} ms" if t_fe_pallas else "")
-        + f", BA {t_ba*1e3:.1f} ms -> {fps:.1f} fps",
+        f"points: frontend XLA {t_fe*1e3:.1f} ms, BA {t_ba*1e3:.1f} ms "
+        f"-> {fps:.1f} fps",
         file=sys.stderr,
     )
     return {
@@ -266,7 +265,9 @@ def bench_system(jnp, jax):
         dtype,
     )
     brightness = jnp.asarray(rng.uniform(0.35, 0.9, n_pts), dtype)
-    bg = jnp.asarray(make_texture(rng, H, W, grid=False) * 0.03, dtype)
+    # dim grid texture behind the blobs so the LINE front-end has real
+    # structure to detect/track (r03: the system bench runs lines ON)
+    bg = jnp.asarray(make_texture(rng, H, W, grid=True) * 0.12, dtype)
 
     def render_frame(q_wb, p_wb):
         q_cw, p_cw = geo.pose_inverse(*geo.pose_compose(q_wb, p_wb, Q_IC, P_IC))
@@ -301,12 +302,16 @@ def bench_system(jnp, jax):
         frames.append(render(traj.quat(ft).astype(dtype), traj.pos(ft).astype(dtype)))
     jax.block_until_ready(frames[-1])
 
+    from vplines_slam_tpu.models.line_tracker import LineTrackerConfig
+
+    line_cfg = LineTrackerConfig(max_lines=32)
     sys_ = SlamSystem(
         CAM,
-        window_cfg=WindowConfig(max_points=96, max_lines=8, max_imu=32,
+        window_cfg=WindowConfig(max_points=96, max_lines=16, max_imu=32,
                                 init_min_corres=12),
         tracker_cfg=TrackerConfig(max_features=96, min_dist=12, equalize=False,
                                   quality=0.003),
+        line_cfg=line_cfg,
         pg_cfg=pg_mod.PoseGraphConfig(max_keyframes=128, n_features=128,
                                       n_window_pts=48),
         q_ic=Q_IC, p_ic=P_IC, dtype=dtype,
@@ -329,6 +334,7 @@ def bench_system(jnp, jax):
         dt_host = time.time() - t0
         if out is not None and n_out > 5:  # steady state only
             lat.append(dt_host)
+    sys_.flush()  # drain the pipelined frame + staged loop-closure work
     res = {}
     if not lat:
         print("system bench: VIO never initialized", file=sys.stderr)
@@ -364,8 +370,17 @@ def bench_system(jnp, jax):
         imu_stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
         imgs_dev = jnp.stack(frames[n_host:])
         dts = jnp.full((T,), 1.0 / frame_hz, dtype)
-        loop = make_device_loop(CAM, sys_.frontend.cfg, eng.cfg, eng.params)
-        carry0 = loop.init_carry(sys_.frontend.state, eng.state, eng.data)
+        # r03: the device loop runs the FULL pipeline with lines on (EDLine +
+        # match + VP + line/VP factors in the window BA) — the namesake
+        # feature is part of the headline number
+        loop = make_device_loop(
+            CAM, sys_.frontend.cfg, eng.cfg, eng.params,
+            line_cfg=line_cfg, map_xy=sys_.line_frontend.map_xy,
+        )
+        carry0 = loop.init_carry(
+            sys_.frontend.state, eng.state, eng.data,
+            ln_state=sys_.line_frontend.state,
+        )
         # warm compile, then time a fresh run from the same carry
         c1, outs = loop.run(carry0, imgs_dev, imu_stacked, dts, jnp.stack(keys))
         _ = np.asarray(outs[0][-1])
@@ -426,9 +441,11 @@ def main():
         json.dumps(
             {
                 "metric": (
-                    "device-resident pipeline frames/s (1 chip, 752x480 images"
-                    "+IMU -> poses in one jitted scan: KLT front-end + window "
-                    "BA + marginalization; extra: host-loop/points/lines/MFU)"
+                    "device-resident pipeline frames/s, LINES ON (1 chip, "
+                    "752x480 images+IMU -> poses in one jitted scan: KLT + "
+                    "EDLine/match/VP front-ends + window BA with point+line+"
+                    "VP factors + marginalization; extra: host-loop/points/"
+                    "lines/MFU)"
                 ),
                 "value": headline,
                 "unit": "frames/s",

@@ -72,7 +72,7 @@ def project_segment(q_cw, p_cw, a, b, fov=(0.8, 0.55)):
 
 
 def run_vio(duration, pix_noise, use_lines, use_vp, seed=0):
-    cfg = WindowConfig(max_points=96, max_lines=24, max_imu=32, line_min_obs=3)
+    cfg = WindowConfig(max_points=96, max_lines=24, max_imu=32)
     traj = syn.figure8_trajectory()
     X = syn.scatter_landmarks(400, seed=seed)
     segs3d = np.asarray(syn.scatter_lines(40, seed=seed + 3)) if use_lines else None

@@ -34,6 +34,7 @@ from .window import (
     empty_state,
     empty_tracks,
     reject_outliers,
+    settle_lines,
     solve_window,
     triangulate_lines,
     triangulate_points,
@@ -117,6 +118,11 @@ def track_step(state, data, pt_ids, pt_rays, ln_args, imu_batch, cfg, params,
     data = triangulate_points(state, data, cfg)
     if use_lines:
         data = triangulate_lines(state, data, cfg)
+        # line-only Cauchy settle with poses fixed (onlyLineOpt,
+        # estimator.cpp:950-1042) + the geometric line culls, so noisy fresh
+        # triangulations never drag the joint solve
+        data = settle_lines(state, data, cfg)
+        data = reject_outliers(state, data, cfg)
     state, data, lm_out = solve_window(state, data, cfg, params)
     data = reject_outliers(state, data, cfg)
 
@@ -542,6 +548,31 @@ class VioEngine:
         out = jax.device_get(out)
         if bool(out.failure):
             self.reset()
+        return out
+
+    def add_frame_async(
+        self, t, pt_ids, pt_rays, ln_ids=None, ln_obs=None, ln_vps=None,
+        ln_vp_valid=None,
+    ):
+        """Steady-state frame step WITHOUT the host readback: dispatches the
+        jitted step and returns the DEVICE StepOutput, so a pipelined caller
+        (SlamSystem) can overlap this frame's compute with the previous
+        frame's transfer + bookkeeping.  The caller owns failure handling
+        (call ``reset()`` when the fetched output reports failure).  Falls
+        back to the synchronous path until the filter is initialized."""
+        if not self.initialized:
+            return self.add_frame(
+                t, pt_ids, pt_rays, ln_ids=ln_ids, ln_obs=ln_obs,
+                ln_vps=ln_vps, ln_vp_valid=ln_vp_valid,
+            )
+        imu_batch = self._pack_imu(float(t) + self.td)
+        pt_ids = jnp.asarray(pt_ids, jnp.int32)
+        pt_rays = jnp.asarray(pt_rays, self.dtype)
+        ln_args = self._pack_lines(ln_ids, ln_obs, ln_vps, ln_vp_valid)
+        self.last_frame_time = float(t)
+        self.state, self.data, out = self._track_step(
+            self.state, self.data, pt_ids, pt_rays, ln_args, imu_batch
+        )
         return out
 
     def _online_calibration(self, t, idx_int):

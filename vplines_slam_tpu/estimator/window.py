@@ -363,7 +363,11 @@ def _vp_residuals(state, data, orth, cfg):
             & (n_obs[slot] >= cfg.line_min_obs)
         )
         r = r * cfg.vp_sqrt_info
-        return jnp.where(jnp.isfinite(r) & valid, r, 0.0)
+        r = jnp.where(jnp.isfinite(r) & valid, r, 0.0)
+        # reference adds vpProjectionFactor with the same Huber loss as the
+        # point/line factors (estimator.cpp:1159-1165)
+        w = res.huber_weight(jax.lax.stop_gradient(jnp.sum(r * r)), cfg.huber_delta)
+        return r * w
 
     return jax.vmap(
         lambda s: jax.vmap(lambda j: one(s, j))(jnp.arange(nf))
@@ -591,13 +595,117 @@ def triangulate_lines(state: WindowState, data: TrackData, cfg: WindowConfig):
 
 
 # ---------------------------------------------------------------------------
+# line-only settle pass (onlyLineOpt)
+# ---------------------------------------------------------------------------
+
+
+def settle_lines(state: WindowState, data: TrackData, cfg: WindowConfig,
+                 num_iters: int = 8):
+    """Line-only optimization with poses and extrinsics FIXED, Cauchy(1.0)
+    loss — the reference's ``onlyLineOpt`` (estimator.cpp:950-1042), run
+    right after line triangulation and BEFORE the joint BA so that freshly
+    triangulated (noisy) Plücker lines settle against all their observations
+    instead of dragging the poses.
+
+    With poses fixed the problem block-diagonalizes per line, so instead of
+    one ceres problem this is a batched [MAXL] damped Gauss-Newton on the
+    4-dof orthonormal coords (tiny 4x4 solves, vmapped — pure MXU/VPU work).
+    """
+    nf = cfg.nf
+    dtype = state.p.dtype
+    n_obs = jnp.sum(data.ln_mask, axis=1)
+    active = (data.ln_id >= 0) & data.ln_solved & (n_obs >= cfg.line_min_obs)
+
+    def line_resid(orth, slot):
+        def per_frame(j):
+            r = res.line_reprojection(
+                state.p[j], state.q[j], state.p_ic, state.q_ic,
+                orth, data.ln_obs[slot, j],
+            ) * cfg.line_sqrt_info
+            r = jnp.where(jnp.isfinite(r) & data.ln_mask[slot, j], r, 0.0)
+            w = res.cauchy_weight(jax.lax.stop_gradient(jnp.sum(r * r)), 1.0)
+            return r * w
+
+        return jax.vmap(per_frame)(jnp.arange(nf)).reshape(-1)
+
+    def solve_one(orth0, slot):
+        def it(_, orth):
+            f = lambda d: line_resid(orth_boxplus(orth, d), slot)
+            d0 = jnp.zeros(4, dtype)
+            J = jax.jacfwd(f)(d0)
+            r = f(d0)
+            H = J.T @ J
+            H = H + 1e-3 * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(4, dtype=dtype)
+            g = J.T @ r
+            d = -jnp.linalg.solve(H, g)
+            d = jnp.where(jnp.isfinite(d), d, 0.0)
+            new = orth_boxplus(orth, d)
+            c0 = jnp.sum(r * r)
+            c1 = jnp.sum(line_resid(new, slot) ** 2)
+            return jnp.where(c1 < c0, new, orth)
+
+        return jax.lax.fori_loop(0, num_iters, it, orth0)
+
+    orth_new = jax.vmap(solve_one)(data.ln_orth, jnp.arange(cfg.max_lines))
+    orth = jnp.where(active[:, None], orth_new, data.ln_orth)
+    return data._replace(ln_orth=orth)
+
+
+# ---------------------------------------------------------------------------
 # outlier rejection
 # ---------------------------------------------------------------------------
 
 
+def _line_endpoint_gates(state, data, cfg):
+    """The reference's geometric line culls (removeLineOutlier:702-798
+    beyond the residual gate): trim the infinite line by the anchor-frame
+    observation and drop lines whose 3D endpoints land behind the camera
+    (e.z < 0) or spread over > 10 m."""
+    nf = cfg.nf
+    dtype = state.p.dtype
+    q_wc = jax.vmap(lambda q: quat_mul(q, state.q_ic))(state.q)
+    p_wc = state.p + jax.vmap(lambda q: quat_rotate(q, state.p_ic))(state.q)
+
+    def one(slot):
+        i = jnp.argmax(data.ln_mask[slot])
+        # world Plücker -> anchor camera frame
+        R_cw = quat_to_rot(quat_conj(q_wc[i]))
+        t_cw = -R_cw @ p_wc[i]
+        plk_c = plk_transform(orth_to_plk(data.ln_orth[slot]), R_cw, t_cw)
+        nc, vc = plk_c[0:3], plk_c[3:6]
+        # dual Plücker matrix Lc
+        sk = jnp.array(
+            [[0.0, -nc[2], nc[1]], [nc[2], 0.0, -nc[0]], [-nc[1], nc[0], 0.0]],
+            dtype,
+        )
+        Lc = jnp.zeros((4, 4), dtype)
+        Lc = Lc.at[0:3, 0:3].set(sk).at[0:3, 3].set(vc).at[3, 0:3].set(-vc)
+        obs = data.ln_obs[slot, i]
+        p11 = jnp.concatenate([obs[0:2], jnp.ones(1, dtype)])
+        p21 = jnp.concatenate([obs[2:4], jnp.ones(1, dtype)])
+        ln = jnp.cross(p11, p21)[0:2]
+        ln = ln / jnp.maximum(jnp.linalg.norm(ln), 1e-12)
+        p12 = p11 + jnp.concatenate([ln, jnp.zeros(1, dtype)])
+        p22 = p21 + jnp.concatenate([ln, jnp.zeros(1, dtype)])
+        zero = jnp.zeros(3, dtype)
+        pi1 = pi_from_ppp(zero, p11, p12)
+        pi2 = pi_from_ppp(zero, p21, p22)
+        e1 = Lc @ pi1
+        e2 = Lc @ pi2
+        e1 = e1 / jnp.where(jnp.abs(e1[3]) > 1e-12, e1[3], 1e-12)
+        e2 = e2 / jnp.where(jnp.abs(e2[3]) > 1e-12, e2[3], 1e-12)
+        bad = (e1[2] < 0) | (e2[2] < 0) | (
+            jnp.linalg.norm(e1[0:3] - e2[0:3]) > 10.0
+        )
+        return bad | ~jnp.all(jnp.isfinite(e1)) | ~jnp.all(jnp.isfinite(e2))
+
+    return jax.vmap(one)(jnp.arange(cfg.max_lines))
+
+
 def reject_outliers(state, data, cfg, reproj_thresh=5.0 / 460.0, line_thresh=3.0 / 500.0):
     """Drop tracks with negative depth or large mean reprojection error
-    (estimator removeFailures + feature_manager removeLineOutlier:702-798)."""
+    (estimator removeFailures + feature_manager removeLineOutlier:702-798:
+    max per-obs line error, endpoint-behind-camera, endpoint spread > 10)."""
     r_pt = _point_residuals(state, data, data.pt_inv_depth, cfg) / cfg.point_sqrt_info
     err = jnp.linalg.norm(r_pt, axis=-1)  # [MAXP, NF]
     n = jnp.maximum(jnp.sum(data.pt_mask, axis=1) - 1, 1)
@@ -607,7 +715,8 @@ def reject_outliers(state, data, cfg, reproj_thresh=5.0 / 460.0, line_thresh=3.0
     )
     r_ln = _line_residuals(state, data, data.ln_orth, cfg) / cfg.line_sqrt_info
     err_l = jnp.max(jnp.linalg.norm(r_ln, axis=-1), axis=1)
-    bad_ln = data.ln_solved & (err_l > line_thresh)
+    bad_geom = _line_endpoint_gates(state, data, cfg)
+    bad_ln = data.ln_solved & ((err_l > line_thresh) | bad_geom)
     return data._replace(
         pt_id=jnp.where(bad_pt, -1, data.pt_id),
         pt_solved=data.pt_solved & ~bad_pt,

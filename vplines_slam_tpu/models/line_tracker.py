@@ -19,7 +19,7 @@ from ..models import camera as cam_mod
 from ..ops import line_match as lmatch_mod
 from ..ops import lines as lines_mod
 from ..ops import vp as vp_mod
-from ..ops.image import clahe, remap
+from ..ops.image import build_remap_plan, clahe, remap_static
 
 
 class LineTrackerConfig(NamedTuple):
@@ -172,13 +172,19 @@ class LineTrackerFrontend:
                  dtype=jnp.float32, seed=0):
         self.cfg = cfg
         self.map_xy = cam_mod.undistort_rectify_map(cam).astype(dtype)
+        # banded two-pass remap (RemapPlan): dense-gather cv::remap parity at
+        # VPU shift-add cost; for an undistorted pinhole the plan degenerates
+        # to (near-)identity and is effectively free
+        self.remap_plan = build_remap_plan(self.map_xy)
         self.ideal = cam_mod.pinhole(
             cam.fx, cam.fy, cam.cx, cam.cy, width=cam.width, height=cam.height
         )
         self.state = init_state(cfg, cam.height, cam.width, dtype)
         self._key = jax.random.PRNGKey(seed)
         self._step = jax.jit(
-            lambda st, img, key: step(st, remap(img, self.map_xy), self.ideal, cfg, key)
+            lambda st, img, key: step(
+                st, remap_static(img, self.remap_plan), self.ideal, cfg, key
+            )
         )
 
     def process(self, t, img):

@@ -33,7 +33,7 @@ from ..models import camera as cam_mod
 from ..models import feature_tracker as ft_mod
 from ..models import imu as imu_mod
 from ..models import line_tracker as lt_mod
-from ..ops.image import remap
+from ..ops.image import build_remap_plan, remap_static
 
 
 class DeviceLoop(NamedTuple):
@@ -62,6 +62,7 @@ def make_device_loop(
                         width=cam.width, height=cam.height)
         if use_lines else None
     )
+    remap_plan = build_remap_plan(map_xy) if use_lines else None
 
     def frame_step(carry, inp):
         img, imu_batch, dt, key = inp
@@ -74,7 +75,7 @@ def make_device_loop(
         fe_state, feats = ft_mod.step(fe_state, img, cam, tracker_cfg, dt, k1)
         ln_args = ()
         if use_lines:
-            img_u = remap(img, map_xy)
+            img_u = remap_static(img, remap_plan)
             ln_state, lout = lt_mod.step(ln_state, img_u, ideal, line_cfg, k2)
             ln_args = (lout.ids, lout.endpoints, lout.vp_dirs, lout.vp_valid)
         state, data, out = vio_mod.track_step(

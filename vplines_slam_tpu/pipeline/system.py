@@ -100,6 +100,12 @@ class SlamSystem:
         # fast-relocalization in flight: (cur_kf_index, old_kf_index) whose
         # refined relative pose the next VIO step will deliver
         self._pending_relo = None
+        # r03 pipelining: in-flight frame (device refs) + staged loop-closure
+        # jobs + a dispatched-but-unfetched drift correction
+        self._pending = None
+        self._lc_jobs: list = []
+        self._drift_dev = None
+        self._loop_closed_flag = False
         # multi-sequence bookkeeping (pose_graph.cpp sequence_cnt/sequence_loop;
         # seq 0 is reserved for a loaded prior map).  (R_base, t_base) is the
         # reference's w_r_vio/w_t_vio: the shift applied to every incoming
@@ -209,6 +215,9 @@ class SlamSystem:
         self.R_base = np.eye(3)
         self.t_base = np.zeros(3)
         self._pending_relo = None
+        self._pending = None
+        self._lc_jobs.clear()
+        self._drift_dev = None
 
     def load_map(self, path):
         """Load a prior keyframe map for multi-session relocalization
@@ -220,7 +229,17 @@ class SlamSystem:
         self._db_seqs = [0] * self._db_count
 
     def add_image(self, t, img) -> Optional[SystemOutput]:
-        """Process one grayscale frame [H, W] in [0,1]."""
+        """Process one grayscale frame [H, W] in [0,1].
+
+        PIPELINED (r03): the frame's front-end + VIO step are dispatched
+        asynchronously and the PREVIOUS frame's (already-computed) output is
+        fetched and finished while the chip works — one small readback per
+        frame instead of a blocking compute+transfer chain.  The returned
+        SystemOutput therefore belongs to the previous frame; call
+        ``flush()`` at stream end for the final frame.  Loop-closure work is
+        staged one step per frame (extract/retrieve -> verify -> commit ->
+        drift), mirroring the reference's asynchronous pose-graph process
+        (pose_graph_node.cpp process/optimize4DoF threads)."""
         if (
             self._last_img_t is not None
             and t - self._last_img_t > self._gap_restart
@@ -250,10 +269,60 @@ class SlamSystem:
                 self.vio.state, self.vio.data,
                 acc_mean, gyr_mean, jnp.asarray(dt, self.dtype),
             )
-        out = self.vio.add_frame(t, ids, rays, **ln_kwargs)
-        if out is None or not self.vio.initialized:
-            return None
 
+        if not self.vio.initialized:
+            out = self.vio.add_frame(t, ids, rays, **ln_kwargs)
+            self._advance_loop_stage()
+            if out is None or not self.vio.initialized:
+                return None
+            # init just completed: out is host data; finish it immediately
+            return self._finish_frame(t, img, out)
+
+        out_dev = self.vio.add_frame_async(t, ids, rays, **ln_kwargs)
+        pending, self._pending = self._pending, dict(
+            t=t, img=img, out=out_dev,
+            state=self.vio.state, data=self.vio.data,
+        )
+        result = None
+        if pending is not None:
+            out_h = jax.device_get(pending["out"])  # ready: transfer only
+            if bool(out_h.failure):
+                # the failed frame and the in-flight one both reboot
+                # (failureDetection -> clearState parity, one frame late)
+                self.vio.reset()
+                self._pending = None
+                self._lc_jobs.clear()
+            else:
+                result = self._finish_frame(
+                    pending["t"], pending["img"], out_h,
+                    state=pending["state"], data=pending["data"],
+                )
+        self._advance_loop_stage()
+        return result
+
+    def flush(self) -> Optional[SystemOutput]:
+        """Finish the in-flight frame and drain all staged loop-closure work
+        (stream end)."""
+        result = None
+        if self._pending is not None:
+            pending, self._pending = self._pending, None
+            out_h = jax.device_get(pending["out"])
+            if bool(out_h.failure):
+                self.vio.reset()
+                self._lc_jobs.clear()
+            else:
+                result = self._finish_frame(
+                    pending["t"], pending["img"], out_h,
+                    state=pending["state"], data=pending["data"],
+                )
+        guard = 0
+        while (self._lc_jobs or self._drift_dev is not None) and guard < 64:
+            self._advance_loop_stage()
+            guard += 1
+        return result
+
+    def _finish_frame(self, t, img, out, state=None, data=None):
+        """Host bookkeeping for a frame whose StepOutput is on the host."""
         loop_closed = False
         # consume refined relative pose from an in-flight relocalization
         # (relo_relative_pose -> updateKeyFrameLoop parity)
@@ -267,7 +336,11 @@ class SlamSystem:
             loop_closed = True
         self._pending_relo = None
         if self.use_loop and bool(out.is_keyframe) and self._kf_throttle(out):
-            loop_closed = self._process_keyframe(t, img, out, feats) or loop_closed
+            self._lc_jobs.append(dict(
+                stage="extract", t=t, img=img, out=out,
+                state=state if state is not None else self.vio.state,
+                data=data if data is not None else self.vio.data,
+            ))
 
         from ..utils.geometry import rot_to_quat
 
@@ -285,6 +358,8 @@ class SlamSystem:
                 jnp.asarray(p_corr, self.dtype),
                 jnp.asarray(q_corr, self.dtype),
             )
+        loop_closed = loop_closed or self._loop_closed_flag
+        self._loop_closed_flag = False
         return SystemOutput(
             t=t, p_vio=p_vio, q_vio=q_vio, p_corrected=p_corr,
             q_corrected=q_corr, is_keyframe=bool(out.is_keyframe),
@@ -307,22 +382,46 @@ class SlamSystem:
         self._last_kf_p = np.asarray(out.p)
         return True
 
-    def _process_keyframe(self, t, img, out, feats) -> bool:
+    def _advance_loop_stage(self):
+        """Advance the staged loop-closure pipeline by ONE step (≤1 small
+        readback): extract/retrieve -> candidate check -> verify -> commit,
+        plus the deferred drift fetch.  The frame path never blocks on the
+        whole chain — the reference runs the same work in a separate
+        pose-graph process (pose_graph_node.cpp:294, optimize4DoF:403)."""
+        # deferred drift fetch from a previously dispatched 4-DoF solve
+        if self._drift_dev is not None:
+            R_d, t_d = jax.device_get(self._drift_dev)
+            self.R_drift = np.asarray(R_d)
+            self.t_drift = np.asarray(t_d)
+            self._drift_dev = None
+            return
+        if not self._lc_jobs:
+            return
+        job = self._lc_jobs[0]
+        stage = job["stage"]
+        if stage == "extract":
+            self._lc_stage_extract(job)
+        elif stage == "cand":
+            self._lc_stage_cand(job)
+        elif stage == "commit":
+            self._lc_stage_commit(job)
+        if job.get("done"):
+            self._lc_jobs.pop(0)
+
+    def _lc_stage_extract(self, job):
         from ..utils.geometry import rot_to_quat
 
-        cfg = self.pg_cfg
         # capacity guard: double the DB before it would overflow (JAX clamps
         # out-of-bounds .at[] writes silently, corrupting the last slot)
         if self._db_count >= self.db.p_vio.shape[0]:
             self.db = pg_mod.grow_db(self.db)
+        out = job["out"]
         # window points: tracked features with solved depths -> world points
         w3d, wxy, w_valid, w_ids = self._jit_window_points(
-            self.vio.state, self.vio.data
+            job["state"], job["data"]
         )
-        fb = self._jit_extract(img, wxy, w_valid)
-        k = self._db_count
+        fb = self._jit_extract(job["img"], wxy, w_valid)
         sig = fb["sig"]
-        cand_i, cand_s = jax.device_get(self._jit_retrieve(self.db, sig))
         # keyframe pose and its world points in the sequence-based map frame
         Rb = jnp.asarray(self.R_base, self.dtype)
         tb = jnp.asarray(self.t_base, self.dtype)
@@ -335,9 +434,19 @@ class SlamSystem:
             fb["desc"], fb["kp_norm"], fb["kp_valid"], fb["wdesc"], w3d, w_valid,
             seq=jnp.asarray(self.seq, jnp.int32),
         )
+        job.update(
+            stage="cand", k=self._db_count,
+            cand_dev=self._jit_retrieve(self.db, sig),
+            fb=fb, w3d=w3d, w_valid=w_valid, w_ids=w_ids,
+            Rb=Rb, tb=tb, q_b=q_b, p_kf=p_kf, q_kf=q_kf,
+        )
         self._db_count += 1
         self._db_seqs.append(self.seq)
-        closed = False
+
+    def _lc_stage_cand(self, job):
+        cfg = self.pg_cfg
+        cand_i, cand_s = jax.device_get(job["cand_dev"])
+        k = job["k"]
         # candidates from other sequences/maps skip the recency check (the
         # exclusion zone only guards against trivial same-trajectory matches)
         cand = int(cand_i[0])
@@ -347,55 +456,65 @@ class SlamSystem:
         eligible = (k > cfg.skip_recent or cross_seq) and float(
             cand_s[0]
         ) > cfg.min_score
-        if eligible:
-            self._key, key = jax.random.split(self._key)
-            lr = jax.device_get(
-                self._jit_verify(
-                    self.db, jnp.asarray(cand), fb["wdesc"], w3d, w_valid,
-                    p_kf, q_kf, key,
-                    self.vio.state.q_ic, self.vio.state.p_ic,
-                )
+        if not eligible:
+            job["done"] = True
+            return
+        self._key, key = jax.random.split(self._key)
+        job.update(
+            stage="commit", cand=cand, cross_seq=cross_seq,
+            lr_dev=self._jit_verify(
+                self.db, jnp.asarray(cand), job["fb"]["wdesc"], job["w3d"],
+                job["w_valid"], job["p_kf"], job["q_kf"], key,
+                self.vio.state.q_ic, self.vio.state.p_ic,
+            ),
+        )
+
+    def _lc_stage_commit(self, job):
+        job["done"] = True
+        lr = jax.device_get(job["lr_dev"])
+        if not bool(lr.ok):
+            return
+        k, cand = job["k"], job["cand"]
+        self.db = self._jit_record_loop(
+            self.db, jnp.asarray(k), jnp.asarray(cand),
+            jnp.asarray(lr.rel_t), jnp.asarray(lr.rel_yaw),
+        )
+        if job["cross_seq"] and self.seq not in self._rebased_seqs:
+            # first loop onto an older sequence/map: re-base the whole
+            # current sequence and fold the shift into the incoming
+            # base transform (pose_graph.cpp:103-124 w_r_vio/w_t_vio)
+            self.db, (R_s, t_s) = self._jit_rebase(
+                self.db, jnp.asarray(k), jnp.asarray(cand)
             )
-            if bool(lr.ok):
-                self.db = self._jit_record_loop(
-                    self.db, jnp.asarray(k), jnp.asarray(cand), lr.rel_t, lr.rel_yaw
-                )
-                if cross_seq and self.seq not in self._rebased_seqs:
-                    # first loop onto an older sequence/map: re-base the whole
-                    # current sequence and fold the shift into the incoming
-                    # base transform (pose_graph.cpp:103-124 w_r_vio/w_t_vio)
-                    self.db, (R_s, t_s) = self._jit_rebase(
-                        self.db, jnp.asarray(k), jnp.asarray(cand)
-                    )
-                    R_s, t_s = np.asarray(R_s), np.asarray(t_s)
-                    self.R_base = R_s @ self.R_base
-                    self.t_base = R_s @ self.t_base + t_s
-                    self._rebased_seqs.add(self.seq)
-                self._run_pgo()
-                closed = True
-                # arm fast-relocalization: matched old-keyframe observations
-                # refine the loop's relative pose inside the next window BA;
-                # the PnP seed pose is mapped back into the estimator's raw
-                # VIO frame (undo the sequence base shift)
-                mm = np.asarray(lr.match_mask)
-                if mm.any():
-                    Rb_n = np.asarray(Rb)
-                    tb_n = np.asarray(tb)
-                    p_seed = Rb_n.T @ (np.asarray(lr.p_old) - tb_n)
-                    q_seed = quat_mul(quat_conj(q_b), lr.q_old)
-                    armed = self.vio.set_relo(
-                        np.asarray(w_ids)[mm], np.asarray(lr.obs_old)[mm],
-                        p_seed, q_seed,
-                    )
-                    if armed:
-                        self._pending_relo = (k, cand)
-        return closed
+            R_s, t_s = np.asarray(R_s), np.asarray(t_s)
+            self.R_base = R_s @ self.R_base
+            self.t_base = R_s @ self.t_base + t_s
+            self._rebased_seqs.add(self.seq)
+        self._run_pgo()
+        self._loop_closed_flag = True
+        # arm fast-relocalization: matched old-keyframe observations
+        # refine the loop's relative pose inside the next window BA;
+        # the PnP seed pose is mapped back into the estimator's raw
+        # VIO frame (undo the sequence base shift)
+        mm = np.asarray(lr.match_mask)
+        if mm.any():
+            Rb_n = np.asarray(job["Rb"])
+            tb_n = np.asarray(job["tb"])
+            p_seed = Rb_n.T @ (np.asarray(lr.p_old) - tb_n)
+            q_seed = quat_mul(quat_conj(job["q_b"]), jnp.asarray(lr.q_old))
+            armed = self.vio.set_relo(
+                np.asarray(job["w_ids"])[mm], np.asarray(lr.obs_old)[mm],
+                p_seed, q_seed,
+            )
+            if armed:
+                self._pending_relo = (k, cand)
 
     def _run_pgo(self):
+        """Dispatch the 4-DoF pose-graph solve; the drift correction is
+        fetched on a later frame (optimize4DoF runs on its own thread in the
+        reference — drift lands asynchronously there too)."""
         self.db, _ = self._jit_pgo(self.db)
-        R_d, t_d = jax.device_get(self._jit_drift(self.db))
-        self.R_drift = np.asarray(R_d)
-        self.t_drift = np.asarray(t_d)
+        self._drift_dev = self._jit_drift(self.db)
 
     def _select_impl(self, ids, rays, state, data, acc_mean, gyr_mean, dt):
         """Attention feature-selector dispatch (estimator_node.cpp:336-349 +
