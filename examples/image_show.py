@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""Live replay visualizer + real-image relative-pose check on the mh04 fixture.
+
+Parity with the reference's image_show node
+(feature_tracker/src/image_show_node.cpp:46: re-projects the line tracker's
+normalized endpoints back onto the raw image and republishes) — here the
+replay runs BOTH front-ends over every frame of the reference's own EuRoC
+MH_04 fixture (line_matching/data/mh04/imgs, the data its test binaries use),
+writes per-frame overlay PNGs (tracked points colored by track length, line
+segments colored by VP id), and — because the fixture ships per-frame ground
+truth `T_cur_ref` (4x4, OpenCV yaml) — scores the front-end's essential-
+matrix relative pose against it: rotation error and translation-direction
+error per frame pair, appended to results/mh04_relpose.txt.
+
+Usage: python examples/image_show.py [--out results/image_show]
+"""
+
+import argparse
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if not os.environ.get("VPL_TPU"):
+    from vplines_slam_tpu.utils.hostplatform import force_cpu
+
+    force_cpu()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vplines_slam_tpu.models import camera as cam_mod
+from vplines_slam_tpu.models.feature_tracker import FeatureTrackerFrontend, TrackerConfig
+from vplines_slam_tpu.models.line_tracker import LineTrackerConfig, LineTrackerFrontend
+from vplines_slam_tpu.ops import mvg
+from vplines_slam_tpu.utils import viz
+from vplines_slam_tpu.utils.dataset import REFERENCE_MH04_FIXTURE, ImageFolderSequence
+
+FIXTURE_ROOT = os.path.dirname(REFERENCE_MH04_FIXTURE.rstrip("/"))
+
+
+def euroc_cam():
+    return cam_mod.pinhole(
+        fx=461.6, fy=460.3, cx=363.0, cy=248.1,
+        k1=-2.917e-01, k2=8.228e-02, p1=5.333e-05, p2=-1.578e-04,
+    )
+
+
+def load_T_cur_ref(k):
+    """Parse the fixture's OpenCV-yaml 4x4 (T mapping ref-frame coords to
+    cur-frame coords, line_matching test convention)."""
+    path = os.path.join(FIXTURE_ROOT, "T_cur_ref", f"{k}.yml")
+    if not os.path.isfile(path):
+        return None
+    txt = open(path).read()
+    nums = re.findall(r"[-+0-9.eE]+", txt.split("data:")[1])
+    T = np.asarray([float(x) for x in nums[:16]]).reshape(4, 4)
+    return T
+
+
+def rot_angle_deg(R):
+    c = np.clip((np.trace(R) - 1.0) / 2.0, -1.0, 1.0)
+    return np.degrees(np.arccos(c))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(__file__), "..", "results", "image_show"))
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    cam = euroc_cam()
+    dtype = jnp.float32
+    fe = FeatureTrackerFrontend(
+        cam, TrackerConfig(max_features=120, min_dist=25), dtype=dtype
+    )
+    lfe = LineTrackerFrontend(
+        cam, LineTrackerConfig(max_lines=48), dtype=dtype
+    )
+    seq = ImageFolderSequence(REFERENCE_MH04_FIXTURE)
+
+    prev = None  # (ids, norm xy) of the previous frame for relpose
+    rel_rows = []
+    for k, frame in enumerate(seq):
+        img = jnp.asarray(frame.image(), dtype)
+        pts = fe.process(frame.t, img)
+        lns = lfe.process(frame.t, img)
+
+        rgb = viz.to_rgb(np.asarray(img))
+        rgb = viz.draw_lines(
+            rgb, np.asarray(lns.segs_px), np.asarray(lns.valid),
+            vp_id=None,
+        )
+        rgb = viz.draw_points(
+            rgb, np.asarray(pts.xy), np.asarray(pts.valid),
+            track_cnt=np.asarray(pts.track_cnt),
+        )
+        out_png = os.path.join(args.out, f"frame_{k+1:02d}.png")
+        viz.save_png(out_png, rgb)
+
+        ids = np.asarray(pts.ids)
+        rays = np.asarray(pts.rays)[:, 0:2]
+        n_l = int(np.asarray(lns.valid).sum())
+        print(f"frame {k+1}: {int((ids>=0).sum())} pts, {n_l} lines -> {out_png}")
+
+        # relative pose vs the fixture's shipped T_cur_ref (frame k vs k-1)
+        if prev is not None:
+            pid, pxy = prev
+            common = {}
+            for i, fid in enumerate(pid):
+                if fid >= 0:
+                    common[fid] = i
+            m0, m1 = [], []
+            for i, fid in enumerate(ids):
+                if fid >= 0 and fid in common:
+                    m0.append(pxy[common[fid]])
+                    m1.append(rays[i])
+            if len(m0) >= 12:
+                P = fe.cfg.max_features
+                a0 = np.zeros((P, 2)); a1 = np.zeros((P, 2))
+                msk = np.zeros(P, bool)
+                a0[: len(m0)] = m0; a1[: len(m1)] = m1
+                msk[: len(m0)] = True
+                key = jax.random.PRNGKey(k)
+                E, inl, _ = mvg.ransac_essential(
+                    jnp.asarray(a0, dtype), jnp.asarray(a1, dtype),
+                    jnp.asarray(msk), key, n_hyp=64, threshold=2.0 / 460,
+                )
+                R, t, _votes = mvg.decompose_essential(
+                    E, jnp.asarray(a0, dtype), jnp.asarray(a1, dtype),
+                    jnp.asarray(np.asarray(inl)),
+                )
+                T_gt = load_T_cur_ref(k + 1)
+                if T_gt is not None:
+                    R_est = np.asarray(R)
+                    t_est = np.asarray(t).ravel()
+                    R_gt = T_gt[:3, :3]
+                    t_gt = T_gt[:3, 3]
+                    dR = rot_angle_deg(R_est.T @ R_gt)
+                    cos_t = abs(float(
+                        np.dot(t_est, t_gt)
+                        / (np.linalg.norm(t_est) * np.linalg.norm(t_gt) + 1e-12)
+                    ))
+                    dt_deg = np.degrees(np.arccos(np.clip(cos_t, 0, 1)))
+                    rel_rows.append((k + 1, len(m0), dR, dt_deg))
+                    print(
+                        f"  relpose vs T_cur_ref: dR {dR:.2f} deg, "
+                        f"t-dir {dt_deg:.1f} deg ({len(m0)} matches)"
+                    )
+        prev = (ids, rays)
+
+    if rel_rows:
+        path = os.path.join(args.out, "..", "mh04_relpose.txt")
+        with open(path, "w") as f:
+            f.write("# frame  n_matches  rot_err_deg  tdir_err_deg\n")
+            for r in rel_rows:
+                f.write(f"{r[0]:3d} {r[1]:4d} {r[2]:8.3f} {r[3]:8.2f}\n")
+            dRs = np.asarray([r[2] for r in rel_rows])
+            f.write(
+                f"# median rot err {np.median(dRs):.3f} deg over "
+                f"{len(rel_rows)} pairs\n"
+            )
+        print(f"wrote {os.path.abspath(path)}: median rot err "
+              f"{np.median(dRs):.3f} deg")
+
+
+if __name__ == "__main__":
+    main()

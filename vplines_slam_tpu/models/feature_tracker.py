@@ -31,7 +31,19 @@ class TrackerConfig(NamedTuple):
     equalize: bool = True
     ransac_hyps: int = 32
     quality: float = 0.01  # GFTT quality level (relative to max response)
+    # FISHEYE (parameters.cpp:71-83): confine tracking/detection to the
+    # circular valid region (the reference loads fisheye_mask.jpg; a
+    # centered circle is generated when no mask image is supplied)
+    fisheye: bool = False
     klt: klt_mod.KLTConfig = klt_mod.KLTConfig()
+
+
+def circular_fisheye_mask(H, W, radius=None, dtype=jnp.float32):
+    """Centered circular 0/1 mask (the shipped fisheye_mask.jpg analog)."""
+    r = radius if radius is not None else 0.5 * min(H, W) - 4.0
+    yy = jnp.arange(H, dtype=dtype)[:, None] - (H - 1) / 2.0
+    xx = jnp.arange(W, dtype=dtype)[None, :] - (W - 1) / 2.0
+    return (yy * yy + xx * xx <= r * r).astype(dtype)
 
 
 class TrackerState(NamedTuple):
@@ -67,8 +79,13 @@ def init_state(cfg: TrackerConfig, H, W, dtype=jnp.float32) -> TrackerState:
 
 
 def step(state: TrackerState, img, cam: cam_mod.CameraModel, cfg: TrackerConfig,
-         dt, key):
-    """Process one frame.  Returns (new_state, TrackerOutput)."""
+         dt, key, fisheye_mask=None):
+    """Process one frame.  Returns (new_state, TrackerOutput).
+
+    fisheye_mask: optional [H, W] 0/1 valid-image region (parameters.cpp
+    FISHEYE mask, feature_tracker.cpp:40): tracked points leaving the region
+    are dropped and detection is confined to it.
+    """
     dtype = img.dtype
     M = cfg.max_features
     if cfg.equalize:
@@ -78,6 +95,11 @@ def step(state: TrackerState, img, cam: cam_mod.CameraModel, cfg: TrackerConfig,
     valid0 = state.ids >= 0
     pts1, ok, _ = klt_mod.track(state.prev_img, img, state.xy, cfg.klt)
     ok = ok & valid0 & state.has_prev
+    if fisheye_mask is not None:
+        H_, W_ = img.shape
+        xi = jnp.clip(jnp.round(pts1[:, 0]).astype(jnp.int32), 0, W_ - 1)
+        yi = jnp.clip(jnp.round(pts1[:, 1]).astype(jnp.int32), 0, H_ - 1)
+        ok = ok & (fisheye_mask[yi, xi] > 0)
 
     # ---- F-RANSAC outlier rejection (virtual focal plane) -----------------
     norm0 = cam_mod.lift(cam, state.xy)[:, 0:2]
@@ -98,7 +120,7 @@ def step(state: TrackerState, img, cam: cam_mod.CameraModel, cfg: TrackerConfig,
     xy_cur = jnp.where(ok[:, None], pts1, state.xy)
     new_xy, new_score, new_valid = corners_mod.detect(
         img, max_corners=M, min_dist=cfg.min_dist, quality=cfg.quality,
-        existing_xy=xy_cur, existing_mask=ok,
+        existing_xy=xy_cur, existing_mask=ok, region_mask=fisheye_mask,
     )
 
     # fill free slots with new detections (rank matching, like track ingest)
@@ -155,14 +177,23 @@ class FeatureTrackerFrontend:
     """Host wrapper: owns the jitted step and the RNG stream."""
 
     def __init__(self, cam: cam_mod.CameraModel, cfg: TrackerConfig = TrackerConfig(),
-                 dtype=jnp.float32, seed=0):
+                 dtype=jnp.float32, seed=0, fisheye_mask=None):
         self.cam = cam
         self.cfg = cfg
         self.state = init_state(cfg, cam.height, cam.width, dtype)
         self.last_t = None
         self._key = jax.random.PRNGKey(seed)
+        if fisheye_mask is None and cfg.fisheye:
+            fisheye_mask = circular_fisheye_mask(
+                cam.height, cam.width, dtype=dtype
+            )
+        self.fisheye_mask = (
+            jnp.asarray(fisheye_mask, dtype) if fisheye_mask is not None else None
+        )
         self._step = jax.jit(
-            lambda st, img, dt, key: step(st, img, cam, cfg, dt, key)
+            lambda st, img, dt, key: step(
+                st, img, cam, cfg, dt, key, fisheye_mask=self.fisheye_mask
+            )
         )
 
     def process(self, t, img):

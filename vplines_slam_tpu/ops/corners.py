@@ -48,9 +48,12 @@ def detect(
     existing_xy=None,
     existing_mask=None,
     border=5,
+    region_mask=None,
 ):
     """Top-`max_corners` corners with ≥min_dist spacing, avoiding existing ones.
 
+    region_mask: optional [H, W] 0/1 detection region (the reference's
+    fisheye mask, feature_tracker.cpp setMask:40 starts from it).
     Returns (xy [max_corners, 2], score [max_corners], valid [max_corners]).
     Fixed output shape — unused slots have valid=False.
     """
@@ -64,6 +67,8 @@ def detect(
     xx = jnp.arange(W)[None, :]
     inb = (yy >= border) & (yy < H - border) & (xx >= border) & (xx < W - border)
     resp = jnp.where(inb, resp, 0.0)
+    if region_mask is not None:
+        resp = jnp.where(region_mask > 0, resp, 0.0)
 
     # grid-cell selection: one winner per min_dist x min_dist cell
     ch = -(-H // min_dist)

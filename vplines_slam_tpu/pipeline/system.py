@@ -39,6 +39,11 @@ class SystemOutput(NamedTuple):
     q_corrected: np.ndarray
     is_keyframe: bool
     loop_closed: bool
+    # host-side per-stage wall-clock ms of the producing add_image call
+    # (frontend / line_frontend / vio_dispatch / fetch_finish / loop_stage;
+    # printStatistics/TicToc parity — utils/stats.py)
+    timings: Optional[dict] = None
+    ba_cost: float = float("nan")
 
 
 class SlamSystem:
@@ -62,6 +67,7 @@ class SlamSystem:
         selector_cfg=None,
         estimate_extrinsic=None,
         estimate_td: bool = False,
+        print_stats_every: int = 0,
         dtype=jnp.float32,
     ):
         self.cam = cam
@@ -123,6 +129,10 @@ class SlamSystem:
         # keyframe throttling state (pose_graph_node.cpp SKIP_CNT/SKIP_DIS)
         self._kf_skip_count = 0
         self._last_kf_p = None
+        # observability: stage timers + periodic printStatistics-style stream
+        from ..utils.stats import Statistics
+
+        self.stats = Statistics(print_every=print_stats_every)
         # every jitted program is built ONCE here; per-frame calls hit the
         # trace cache (zero retraces after warmup — trace_counts proves it)
         self._trace_counts: dict = {}
@@ -247,10 +257,13 @@ class SlamSystem:
             self.new_sequence()
         self._last_img_t = t
         img = jnp.asarray(img, self.dtype)
-        feats = self.frontend.process(t, img)
+        tm = self.stats.timers
+        with tm.time("frontend"):
+            feats = self.frontend.process(t, img)
         ln_kwargs = {}
         if self.line_frontend is not None:
-            lines = self.line_frontend.process(t, img)
+            with tm.time("line_frontend"):
+                lines = self.line_frontend.process(t, img)
             ln_kwargs = dict(
                 ln_ids=lines.ids, ln_obs=lines.endpoints,
                 ln_vps=lines.vp_dirs, ln_vp_valid=lines.vp_valid,
@@ -278,26 +291,29 @@ class SlamSystem:
             # init just completed: out is host data; finish it immediately
             return self._finish_frame(t, img, out)
 
-        out_dev = self.vio.add_frame_async(t, ids, rays, **ln_kwargs)
+        with tm.time("vio_dispatch"):
+            out_dev = self.vio.add_frame_async(t, ids, rays, **ln_kwargs)
         pending, self._pending = self._pending, dict(
             t=t, img=img, out=out_dev,
             state=self.vio.state, data=self.vio.data,
         )
         result = None
         if pending is not None:
-            out_h = jax.device_get(pending["out"])  # ready: transfer only
-            if bool(out_h.failure):
-                # the failed frame and the in-flight one both reboot
-                # (failureDetection -> clearState parity, one frame late)
-                self.vio.reset()
-                self._pending = None
-                self._lc_jobs.clear()
-            else:
-                result = self._finish_frame(
-                    pending["t"], pending["img"], out_h,
-                    state=pending["state"], data=pending["data"],
-                )
-        self._advance_loop_stage()
+            with tm.time("fetch_finish"):
+                out_h = jax.device_get(pending["out"])  # ready: transfer only
+                if bool(out_h.failure):
+                    # the failed frame and the in-flight one both reboot
+                    # (failureDetection -> clearState parity, one frame late)
+                    self.vio.reset()
+                    self._pending = None
+                    self._lc_jobs.clear()
+                else:
+                    result = self._finish_frame(
+                        pending["t"], pending["img"], out_h,
+                        state=pending["state"], data=pending["data"],
+                    )
+        with tm.time("loop_stage"):
+            self._advance_loop_stage()
         return result
 
     def flush(self) -> Optional[SystemOutput]:
@@ -360,10 +376,19 @@ class SlamSystem:
             )
         loop_closed = loop_closed or self._loop_closed_flag
         self._loop_closed_flag = False
+        cost = float(np.asarray(out.ba_cost)) if hasattr(out, "ba_cost") else float("nan")
+        self.stats.update(
+            p_corr, bool(out.is_keyframe), loop_closed, ba_cost=cost
+        )
+        self.stats.maybe_print(
+            p_ic=self.vio.state.p_ic, q_ic=self.vio.state.q_ic,
+            td=self.vio.td,
+        )
         return SystemOutput(
             t=t, p_vio=p_vio, q_vio=q_vio, p_corrected=p_corr,
             q_corrected=q_corr, is_keyframe=bool(out.is_keyframe),
             loop_closed=loop_closed,
+            timings=dict(self.stats.timers.last), ba_cost=cost,
         )
 
     # ------------------------------------------------------- loop closure

@@ -103,6 +103,7 @@ def load_profile(path, dtype=jnp.float64) -> SystemProfile:
         min_dist=t.get("min_dist", 30),
         f_threshold=t.get("F_threshold", 1.0),
         equalize=bool(t.get("equalize", True)),
+        fisheye=bool(t.get("fisheye", False)),
     )
 
     lines = None
