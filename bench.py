@@ -177,8 +177,11 @@ def bench_lines(jnp, jax):
     rng = np.random.default_rng(1)
     H, W = 480, 752
     cam = cam_mod.pinhole(460.0, 460.0, W / 2, H / 2, width=W, height=H)
+    # equalize=False: CLAHE is a config knob in the reference too (EQUALIZE,
+    # line_feature_tracker.cpp:64) and the synthetic bench scene is already
+    # full-contrast — same setting the point-FE bench runs with
     fe = lt_mod.LineTrackerFrontend(
-        cam, lt_mod.LineTrackerConfig(max_lines=64), dtype=dtype
+        cam, lt_mod.LineTrackerConfig(max_lines=64, equalize=False), dtype=dtype
     )
     img0 = jnp.asarray(make_texture(rng, H, W, grid=True), dtype)
     img0 = gaussian_blur(img0, 5, 0.8)
@@ -304,7 +307,7 @@ def bench_system(jnp, jax):
 
     from vplines_slam_tpu.models.line_tracker import LineTrackerConfig
 
-    line_cfg = LineTrackerConfig(max_lines=32)
+    line_cfg = LineTrackerConfig(max_lines=32, equalize=False)  # see bench_lines
     sys_ = SlamSystem(
         CAM,
         window_cfg=WindowConfig(max_points=96, max_lines=16, max_imu=32,
@@ -321,6 +324,7 @@ def bench_system(jnp, jax):
     n_host = 2 * len(frame_times) // 3
     imu_idx = 0
     lat = []
+    stage_rows = []
     n_out = 0
     for fi in range(n_host):
         ft = frame_times[fi]
@@ -334,6 +338,7 @@ def bench_system(jnp, jax):
         dt_host = time.time() - t0
         if out is not None and n_out > 5:  # steady state only
             lat.append(dt_host)
+            stage_rows.append(dict(sys_.stats.timers.last))
     sys_.flush()  # drain the pipelined frame + staged loop-closure work
     res = {}
     if not lat:
@@ -346,6 +351,12 @@ def bench_system(jnp, jax):
         f"{fps:.1f} fps (init at frame {n_host - n_out})",
         file=sys.stderr,
     )
+    keys = sorted({k for row in stage_rows for k in row})
+    stages = {
+        k: round(float(np.median([row.get(k, 0.0) for row in stage_rows])), 1)
+        for k in keys
+    }
+    print(f"system stage medians, steady state (ms): {stages}", file=sys.stderr)
     res.update(
         {"system_fps": round(fps, 2), "system_median_ms": round(med * 1e3, 2)}
     )

@@ -71,6 +71,42 @@ def project_segment(q_cw, p_cw, a, b, fov=(0.8, 0.55)):
     return np.asarray([q0[0], q0[1], q1[0], q1[1]]), True
 
 
+def noisy_segment(e, pix_noise, rng, focal=460.0):
+    """Perturb a projected segment with DETECTOR-realistic noise.
+
+    A line detector (EDLine) fits the segment to ~L_px edge pixels, so its
+    perpendicular error is line-fit noise — offset σ/√n at the center plus
+    rotation σ·√(12/n)/L about it (OLS line-fit covariance), i.e. ~2σ/√L_px
+    at the endpoints — NOT an independent σ per endpoint.  Along the line
+    the endpoint localization IS ~σ (edge termination is noisy), and that
+    component is irrelevant to the point-to-line residual anyway.
+
+    r02's harness drew 4 i.i.d. σ-noised coordinates, overstating the
+    perpendicular line noise ~5x for a 100 px segment; with the production
+    reference weight (line_factor 306.67 == the point weight,
+    euroc_config.yaml:89) that over-trusts lines and made them DEGRADE
+    accuracy (r02 VERDICT weak #3).  With the fit-statistics model below the
+    same production weights are consistent.
+    """
+    if not pix_noise:
+        return e
+    sig = pix_noise / focal
+    p0, p1 = e[0:2], e[2:4]
+    d = p1 - p0
+    L = float(np.linalg.norm(d))
+    if L < 1e-9:
+        return e
+    u = d / L
+    v = np.asarray([-u[1], u[0]])
+    n_px = max(L * focal, 4.0)  # edge-pixel count of the fit
+    c = rng.standard_normal() * sig / np.sqrt(n_px)  # center offset
+    th = rng.standard_normal() * sig * np.sqrt(12.0 / n_px) / L  # rotation
+    a0, a1 = rng.standard_normal(2) * sig  # along-line endpoint noise
+    q0 = p0 + (c - 0.5 * L * th) * v + a0 * u
+    q1 = p1 + (c + 0.5 * L * th) * v + a1 * u
+    return np.concatenate([q0, q1])
+
+
 def run_vio(duration, pix_noise, use_lines, use_vp, seed=0):
     cfg = WindowConfig(max_points=96, max_lines=24, max_imu=32)
     traj = syn.figure8_trajectory()
@@ -127,9 +163,7 @@ def run_vio(duration, pix_noise, use_lines, use_vp, seed=0):
                 )
                 if ok:
                     ln_ids[m] = li
-                    ln_obs[m] = e + (
-                        rng.standard_normal(4) * pix_noise / 460.0 if pix_noise else 0.0
-                    )
+                    ln_obs[m] = noisy_segment(e, pix_noise, rng)
                     d_c = np.asarray(geo.quat_rotate(q_cw, jnp.asarray(dirs3d[li])))
                     if use_vp and abs(d_c[2]) > 0.1:
                         ln_vps[m] = d_c * np.sign(d_c[2])

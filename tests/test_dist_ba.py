@@ -17,12 +17,12 @@ from vplines_slam_tpu.models import imu as imu_mod
 from vplines_slam_tpu.parallel import dist_ba
 from vplines_slam_tpu.utils import demo
 
-CFG = win_mod.WindowConfig(max_points=48, max_lines=8, max_imu=16)
+CFG = win_mod.WindowConfig(max_points=32, max_lines=8, max_imu=12)
 
 
 def build_problem(perturb=0.02):
     state, data, params = demo.synthetic_window(
-        CFG, n_landmarks=150, imu_per_interval=16, seed=0, n_lines=20,
+        CFG, n_landmarks=100, imu_per_interval=12, seed=0, n_lines=16,
     )
     nf = CFG.nf
     rng = np.random.default_rng(7)

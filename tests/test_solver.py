@@ -207,3 +207,53 @@ def test_lm_solve_jits():
 
     x = jax.jit(go)(y)
     np.testing.assert_allclose(x, [2.0, 1.0], atol=1e-9)
+
+
+def test_marginalize_window_matches_generic():
+    """The structured fast path (arrow factorization) must produce the SAME
+    prior information as the generic eigen-clip marginalization on a
+    well-posed window-shaped problem, and its row layout must survive the
+    [:nd] crop losslessly (the generic path's ascending-eigh rows do not)."""
+    rng = np.random.default_rng(5)
+    nd, n_pts, n_lns = 12, 6, 2
+    N = nd + n_pts + 4 * n_lns
+    rows = []
+    # dense factors over all dense dims
+    Jd = rng.standard_normal((3 * nd, N))
+    Jd[:, nd:] = 0.0
+    rows.append(Jd)
+    # per-point factors: couple one point dim to a few dense dims (arrow)
+    for i in range(n_pts):
+        Jp_ = np.zeros((4, N))
+        Jp_[:, : nd] = rng.standard_normal((4, nd)) * 0.3
+        Jp_[:, nd + i] = rng.standard_normal(4)
+        rows.append(Jp_)
+    # per-line factors: couple one 4-block to dense dims
+    for i in range(n_lns):
+        Jl = np.zeros((8, N))
+        Jl[:, : nd] = rng.standard_normal((8, nd)) * 0.3
+        Jl[:, nd + n_pts + 4 * i : nd + n_pts + 4 * (i + 1)] = (
+            rng.standard_normal((8, 4))
+        )
+        rows.append(Jl)
+    J = jnp.asarray(np.concatenate(rows, axis=0))
+    r = jnp.asarray(rng.standard_normal(J.shape[0]))
+
+    mask = jnp.asarray([True] * 3 + [False] * (nd - 3) + [True] * (N - nd))
+    Jg, rg = marg_mod.marginalize(J, r, mask)
+    Jw, rw = marg_mod.marginalize_window(
+        J, r, nd, dense_start=0, dense_size=3, n_points=n_pts, n_lines=n_lns
+    )
+    # same information content and gradient
+    np.testing.assert_allclose(
+        np.asarray(Jw.T @ Jw), np.asarray(Jg.T @ Jg), atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(Jw.T @ rw), np.asarray(Jg.T @ rg), atol=1e-8
+    )
+    # structured rows live at the kept dims: the [:nd] crop loses nothing
+    Jc, rc = Jw[:nd, :nd], rw[:nd]
+    np.testing.assert_allclose(
+        np.asarray(Jc.T @ Jc), np.asarray((Jw.T @ Jw)[:nd, :nd]), atol=1e-10
+    )
+    assert np.linalg.matrix_rank(np.asarray(Jc), tol=1e-8) == nd - 3

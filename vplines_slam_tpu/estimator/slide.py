@@ -229,12 +229,13 @@ def marginalize_old(
     r0 = r_of(zero)
     J = jax.jacfwd(r_of)(zero)
 
-    # eliminate: frame-0 dims + every landmark dim
-    marg_mask = jnp.zeros(N, bool)
-    marg_mask = marg_mask.at[0:15].set(True)
-    marg_mask = marg_mask.at[cfg.nd :].set(True)
-
-    Jp_full, rp_full = marg_mod.marginalize(J, r0, marg_mask)
+    # eliminate frame-0 dims + every landmark dim via the structured fast
+    # path (arrow factorization; see marginalize_window — also fixes the
+    # r02 √-prior row-order truncation under the [:nd] crop below)
+    Jp_full, rp_full = marg_mod.marginalize_window(
+        J, r0, cfg.nd, dense_start=0, dense_size=15,
+        n_points=cfg.max_points, n_lines=cfg.max_lines,
+    )
     nd = cfg.nd
     # prior lives on the dense block only (landmark columns are exactly zero)
     Jp = Jp_full[:nd, :nd]
@@ -380,8 +381,9 @@ def slide_window_new(
     # principled variant of the reference's pose-only drop: we remove both
     # pose and speed/bias dims of the dropped frame.
     nd = cfg.nd
-    marg_mask = jnp.zeros(nd, bool).at[15 * s : 15 * (s + 1)].set(True)
-    Jp, rp = marg_mod.marginalize(data.prior.J, data.prior.r0, marg_mask)
+    Jp, rp = marg_mod.marginalize_window(
+        data.prior.J, data.prior.r0, nd, dense_start=15 * s, dense_size=15,
+    )
     # permute: frame s <- frame n (dims of dropped frame become the newest's)
     perm = jnp.arange(nd, dtype=jnp.int32)
     perm = perm.at[15 * s : 15 * (s + 1)].set(-1)

@@ -59,6 +59,34 @@ class StepOutput(NamedTuple):
     relo_rel_yaw: jnp.ndarray = jnp.asarray(0.0)
 
 
+def pack_output(out: StepOutput):
+    """Flatten a StepOutput into ONE [28] f32 vector on device.  A pipelined
+    host caller fetches this single array instead of a 12-leaf pytree — over
+    a remote-TPU link every leaf can cost a round trip (docs/PERF.md)."""
+    dtype = out.p.dtype
+    sc = lambda x: jnp.asarray(x, dtype).reshape(-1)
+    return jnp.concatenate([
+        sc(out.p), sc(out.q), sc(out.v), sc(out.ba), sc(out.bg),
+        sc(out.is_keyframe), sc(out.failure), sc(out.ba_cost),
+        sc(out.relo_valid), sc(out.relo_rel_t), sc(out.relo_rel_q),
+        sc(out.relo_rel_yaw),
+    ])
+
+
+def unpack_output(vec) -> StepOutput:
+    """Host-side inverse of pack_output (numpy fields)."""
+    import numpy as np
+
+    v = np.asarray(vec)
+    return StepOutput(
+        p=v[0:3], q=v[3:7], v=v[7:10], ba=v[10:13], bg=v[13:16],
+        is_keyframe=bool(v[16] > 0.5), failure=bool(v[17] > 0.5),
+        ba_cost=float(v[18]),
+        relo_valid=bool(v[19] > 0.5), relo_rel_t=v[20:23],
+        relo_rel_q=v[23:27], relo_rel_yaw=float(v[27]),
+    )
+
+
 def _propagate_interval(state, cfg, dts, accs, gyrs, mask, params, k_from, k_to):
     """Seed the state of frame k_to by IMU propagation from k_from
     (estimator.cpp processIMU:82-120 world-frame propagation)."""
@@ -122,7 +150,7 @@ def track_step(state, data, pt_ids, pt_rays, ln_args, imu_batch, cfg, params,
         # estimator.cpp:950-1042) + the geometric line culls, so noisy fresh
         # triangulations never drag the joint solve
         data = settle_lines(state, data, cfg)
-        data = reject_outliers(state, data, cfg)
+        data = reject_outliers(state, data, cfg, cull_points=False)
     state, data, lm_out = solve_window(state, data, cfg, params)
     data = reject_outliers(state, data, cfg)
 
@@ -552,7 +580,7 @@ class VioEngine:
 
     def add_frame_async(
         self, t, pt_ids, pt_rays, ln_ids=None, ln_obs=None, ln_vps=None,
-        ln_vp_valid=None,
+        ln_vp_valid=None, packed=False,
     ):
         """Steady-state frame step WITHOUT the host readback: dispatches the
         jitted step and returns the DEVICE StepOutput, so a pipelined caller
@@ -573,6 +601,10 @@ class VioEngine:
         self.state, self.data, out = self._track_step(
             self.state, self.data, pt_ids, pt_rays, ln_args, imu_batch
         )
+        if packed:
+            if not hasattr(self, "_jit_pack_out"):
+                self._jit_pack_out = jax.jit(pack_output)
+            return self._jit_pack_out(out)
         return out
 
     def _online_calibration(self, t, idx_int):

@@ -702,17 +702,26 @@ def _line_endpoint_gates(state, data, cfg):
     return jax.vmap(one)(jnp.arange(cfg.max_lines))
 
 
-def reject_outliers(state, data, cfg, reproj_thresh=5.0 / 460.0, line_thresh=3.0 / 500.0):
+def reject_outliers(state, data, cfg, reproj_thresh=5.0 / 460.0, line_thresh=3.0 / 500.0,
+                    cull_points=True):
     """Drop tracks with negative depth or large mean reprojection error
     (estimator removeFailures + feature_manager removeLineOutlier:702-798:
-    max per-obs line error, endpoint-behind-camera, endpoint spread > 10)."""
-    r_pt = _point_residuals(state, data, data.pt_inv_depth, cfg) / cfg.point_sqrt_info
-    err = jnp.linalg.norm(r_pt, axis=-1)  # [MAXP, NF]
-    n = jnp.maximum(jnp.sum(data.pt_mask, axis=1) - 1, 1)
-    mean_err = jnp.sum(err, axis=1) / n
-    bad_pt = data.pt_solved & (
-        (data.pt_inv_depth < 0) | (mean_err > reproj_thresh)
-    )
+    max per-obs line error, endpoint-behind-camera, endpoint spread > 10).
+
+    cull_points=False restricts the pass to lines — the pre-solve call
+    mirrors the reference's removeLineOutlier-only placement (points are
+    culled after the joint solve, not before), and skips the point residual
+    stack in that program."""
+    if cull_points:
+        r_pt = _point_residuals(state, data, data.pt_inv_depth, cfg) / cfg.point_sqrt_info
+        err = jnp.linalg.norm(r_pt, axis=-1)  # [MAXP, NF]
+        n = jnp.maximum(jnp.sum(data.pt_mask, axis=1) - 1, 1)
+        mean_err = jnp.sum(err, axis=1) / n
+        bad_pt = data.pt_solved & (
+            (data.pt_inv_depth < 0) | (mean_err > reproj_thresh)
+        )
+    else:
+        bad_pt = jnp.zeros_like(data.pt_solved)
     r_ln = _line_residuals(state, data, data.ln_orth, cfg) / cfg.line_sqrt_info
     err_l = jnp.max(jnp.linalg.norm(r_ln, axis=-1), axis=1)
     bad_geom = _line_endpoint_gates(state, data, cfg)

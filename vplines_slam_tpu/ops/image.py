@@ -194,6 +194,13 @@ def build_remap_plan(map_xy):
     sx = m[..., 0]
     sy = m[..., 1]
     H, W = sx.shape
+    # distortion-free camera: the undistort map is the identity and the
+    # remap would be a full-image no-op resample — skip it (plan = None)
+    ident = np.abs(sx - np.arange(W)[None, :]).max() < 1e-6 and (
+        np.abs(sy - np.arange(H)[:, None]).max() < 1e-6
+    )
+    if ident:
+        return None
     if not np.all(np.diff(sx, axis=1) > 0):
         raise ValueError("remap plan requires sx monotone per row")
     cols = np.arange(W, dtype=np.float64)
@@ -219,7 +226,10 @@ def build_remap_plan(map_xy):
 
 
 def remap_static(img, plan: RemapPlan):
-    """Apply a precomputed two-pass banded remap (see RemapPlan)."""
+    """Apply a precomputed two-pass banded remap (see RemapPlan).
+    plan=None (identity map, distortion-free camera) is a no-op."""
+    if plan is None:
+        return img
     H, W = img.shape
     dt = img.dtype
     lo, hi = plan.band_v
@@ -286,16 +296,22 @@ def clahe(img, clip_limit=3.0, tiles=8, bins=32):
     fy = jnp.clip(yy - y0, 0.0, 1.0)[:, None, None]
     fx = jnp.clip(xx - x0, 0.0, 1.0)[None, :, None]
     lut_rows = (1.0 - fy) * luts[y0] + fy * luts[y1]  # [H, tiles, bins]
-    lutpix = (1.0 - fx) * lut_rows[:, x0] + fx * lut_rows[:, x1]  # [H, W, bins]
+    # the [H, W, bins] stacks are pure HBM traffic (the arithmetic is
+    # trivial); bf16 halves the bandwidth at ~8-bit-image precision, which
+    # is exactly the quantization the uint8 OpenCV original lives with
+    bf = jnp.bfloat16
+    lut_rows = lut_rows.astype(bf)
+    fxb = fx.astype(bf)
+    lutpix = (1.0 - fxb) * lut_rows[:, x0] + fxb * lut_rows[:, x1]  # [H,W,bins]
 
     # piecewise-linear transfer between bin-center knots
     t = jnp.clip(img, 0.0, 1.0) * bins - 0.5
     k0 = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, bins - 1)
     k1 = jnp.clip(k0 + 1, 0, bins - 1)
-    frac = jnp.clip(t - k0, 0.0, 1.0)
+    frac = jnp.clip(t - k0, 0.0, 1.0).astype(bf)
     ks = jnp.arange(bins, dtype=jnp.int32)[None, None, :]
     sel = (
-        (ks == k0[..., None]).astype(img.dtype) * (1.0 - frac)[..., None]
-        + (ks == k1[..., None]).astype(img.dtype) * frac[..., None]
+        (ks == k0[..., None]).astype(bf) * (1.0 - frac)[..., None]
+        + (ks == k1[..., None]).astype(bf) * frac[..., None]
     )
-    return jnp.sum(sel * lutpix, axis=-1)
+    return jnp.sum(sel * lutpix, axis=-1).astype(img.dtype)

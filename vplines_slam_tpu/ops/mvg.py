@@ -19,6 +19,29 @@ import jax.numpy as jnp
 from ..utils.geometry import quat_rotate, rot_to_quat, skew
 
 
+def _solve3x3(H, g):
+    """Closed-form (adjugate/Cramer) 3x3 solve — batched-friendly pure VPU
+    math, avoiding the pivoted-LU while_loop jnp.linalg.solve emits."""
+    a, b, c = H[..., 0, 0], H[..., 0, 1], H[..., 0, 2]
+    d, e, f = H[..., 1, 0], H[..., 1, 1], H[..., 1, 2]
+    g0, h, i = H[..., 2, 0], H[..., 2, 1], H[..., 2, 2]
+    A00 = e * i - f * h
+    A01 = c * h - b * i
+    A02 = b * f - c * e
+    A10 = f * g0 - d * i
+    A11 = a * i - c * g0
+    A12 = c * d - a * f
+    A20 = d * h - e * g0
+    A21 = b * g0 - a * h
+    A22 = a * e - b * d
+    det = a * A00 + b * A10 + c * A20
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    x0 = (A00 * g[..., 0] + A01 * g[..., 1] + A02 * g[..., 2]) * inv_det
+    x1 = (A10 * g[..., 0] + A11 * g[..., 1] + A12 * g[..., 2]) * inv_det
+    x2 = (A20 * g[..., 0] + A21 * g[..., 1] + A22 * g[..., 2]) * inv_det
+    return jnp.stack([x0, x1, x2], axis=-1)
+
+
 def _smallest_eigvec(A):
     """Unit eigenvector of symmetric A for the smallest eigenvalue."""
     w, V = jnp.linalg.eigh(A)
@@ -125,13 +148,26 @@ def triangulate_tracks(poses_R, poses_t, obs, mask):
         r0 = o[:, 0:1] * P[:, 2, :] - P[:, 0, :]
         r1 = o[:, 1:2] * P[:, 2, :] - P[:, 1, :]
         A = jnp.concatenate([r0, r1], axis=0) * jnp.concatenate([m, m])[:, None]
-        X = _smallest_eigvec(A.T @ A)
-        w = X[3]
-        Xw = X[:3] / jnp.where(jnp.abs(w) < 1e-12, jnp.sign(w) * 1e-12 + 1e-30, w)
-        return Xw
+        # affine-normalized DLT (w=1): min ||B X + b|| -> 3x3 normal solve,
+        # ~20x cheaper on TPU than the 4x4 eigh the homogeneous form needs
+        # (eigh lowers to an iterative QR program; this is pure VPU math).
+        # Low-parallax degeneracy is handled by the conditioning gate below
+        # (the homogeneous form returns w->0 = "point at infinity" there; the
+        # affine solve has no such graceful mode, so it must DECLINE instead
+        # and let the track retry once more baseline accrues).
+        B, b = A[:, 0:3], A[:, 3]
+        H = B.T @ B
+        tr = jnp.trace(H) / 3.0
+        Hd = H + 1e-10 * tr * jnp.eye(3, dtype=A.dtype)
+        X = -_solve3x3(Hd, B.T @ b)
+        # relative conditioning: det(H)/tr^3 ~ (sigma_min/sigma_max)-ish
+        det = jnp.linalg.det(Hd)
+        good = det > 1e-9 * jnp.maximum(tr, 1e-30) ** 3
+        return X, good
 
-    X = jax.vmap(one)(obs, mask.astype(obs.dtype))
-    ok = jnp.sum(mask, axis=1) >= 2
+    X, cond_ok = jax.vmap(one)(obs, mask.astype(obs.dtype))
+    X = jnp.where(jnp.isfinite(X), X, 0.0)
+    ok = (jnp.sum(mask, axis=1) >= 2) & cond_ok
     return X, ok
 
 

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..estimator.vio import VioEngine
+from ..estimator.vio import VioEngine, unpack_output
 from ..estimator.window import WindowConfig
 from ..models import camera as cam_mod
 from ..models import global_fusion as gf_mod
@@ -258,6 +258,42 @@ class SlamSystem:
         self._last_img_t = t
         img = jnp.asarray(img, self.dtype)
         tm = self.stats.timers
+
+        # ---- fetch phase: frame k-1's (long-ready) output + the one loop-
+        # stage value due this frame, in ONE device_get round, BEFORE any of
+        # this frame's work is enqueued.  Fetch-after-dispatch (r02) queued
+        # the readback behind frame k's compute on the device stream and
+        # paid the whole pipeline depth per frame (122 ms median measured;
+        # docs/PERF.md).
+        result = None
+        pending, self._pending = self._pending, None
+        due_dev = self._lc_due_dev()
+        due_h = None
+        fetched_due = False
+        if pending is not None:
+            with tm.time("fetch_finish"):
+                out_vec, due_h = jax.device_get((pending["out"], due_dev))
+                fetched_due = True
+                out_h = unpack_output(out_vec)
+                if out_h.failure:
+                    # the failed frame and the in-flight one both reboot
+                    # (failureDetection -> clearState parity, one frame late)
+                    self.vio.reset()
+                    self._lc_jobs.clear()
+                    due_h = None
+                else:
+                    result = self._finish_frame(
+                        pending["t"], pending["img"], out_h,
+                        state=pending["state"], data=pending["data"],
+                    )
+        with tm.time("loop_stage"):
+            if fetched_due or due_dev is None:
+                self._advance_loop_stage(due_h)
+            else:
+                self._advance_loop_stage()
+
+        # ---- dispatch phase: enqueue frame k's front-end + VIO step; the
+        # chip works while the host returns to the caller
         with tm.time("frontend"):
             feats = self.frontend.process(t, img)
         ln_kwargs = {}
@@ -285,35 +321,18 @@ class SlamSystem:
 
         if not self.vio.initialized:
             out = self.vio.add_frame(t, ids, rays, **ln_kwargs)
-            self._advance_loop_stage()
             if out is None or not self.vio.initialized:
-                return None
+                return result
             # init just completed: out is host data; finish it immediately
             return self._finish_frame(t, img, out)
 
         with tm.time("vio_dispatch"):
-            out_dev = self.vio.add_frame_async(t, ids, rays, **ln_kwargs)
-        pending, self._pending = self._pending, dict(
+            out_dev = self.vio.add_frame_async(t, ids, rays, packed=True,
+                                               **ln_kwargs)
+        self._pending = dict(
             t=t, img=img, out=out_dev,
             state=self.vio.state, data=self.vio.data,
         )
-        result = None
-        if pending is not None:
-            with tm.time("fetch_finish"):
-                out_h = jax.device_get(pending["out"])  # ready: transfer only
-                if bool(out_h.failure):
-                    # the failed frame and the in-flight one both reboot
-                    # (failureDetection -> clearState parity, one frame late)
-                    self.vio.reset()
-                    self._pending = None
-                    self._lc_jobs.clear()
-                else:
-                    result = self._finish_frame(
-                        pending["t"], pending["img"], out_h,
-                        state=pending["state"], data=pending["data"],
-                    )
-        with tm.time("loop_stage"):
-            self._advance_loop_stage()
         return result
 
     def flush(self) -> Optional[SystemOutput]:
@@ -322,8 +341,8 @@ class SlamSystem:
         result = None
         if self._pending is not None:
             pending, self._pending = self._pending, None
-            out_h = jax.device_get(pending["out"])
-            if bool(out_h.failure):
+            out_h = unpack_output(jax.device_get(pending["out"]))
+            if out_h.failure:
                 self.vio.reset()
                 self._lc_jobs.clear()
             else:
@@ -407,15 +426,34 @@ class SlamSystem:
         self._last_kf_p = np.asarray(out.p)
         return True
 
-    def _advance_loop_stage(self):
+    def _lc_due_dev(self):
+        """Device value the NEXT _advance_loop_stage call will read, if any —
+        so add_image can fetch it in the SAME device_get round as the frame
+        output (the tunnel round trip is 30-80 ms; two serial readbacks per
+        frame were the bulk of the r02 host-loop latency)."""
+        if self._drift_dev is not None:
+            return self._drift_dev
+        if self._lc_jobs:
+            job = self._lc_jobs[0]
+            if job["stage"] == "cand":
+                return job["cand_dev"]
+            if job["stage"] == "commit":
+                return job["lr_dev"]
+        return None
+
+    def _advance_loop_stage(self, due_h=None):
         """Advance the staged loop-closure pipeline by ONE step (≤1 small
         readback): extract/retrieve -> candidate check -> verify -> commit,
         plus the deferred drift fetch.  The frame path never blocks on the
         whole chain — the reference runs the same work in a separate
-        pose-graph process (pose_graph_node.cpp:294, optimize4DoF:403)."""
+        pose-graph process (pose_graph_node.cpp:294, optimize4DoF:403).
+
+        due_h: the host value of _lc_due_dev() if the caller prefetched it
+        (add_image batches it with the frame readback); None -> fetch here.
+        """
         # deferred drift fetch from a previously dispatched 4-DoF solve
         if self._drift_dev is not None:
-            R_d, t_d = jax.device_get(self._drift_dev)
+            R_d, t_d = due_h if due_h is not None else jax.device_get(self._drift_dev)
             self.R_drift = np.asarray(R_d)
             self.t_drift = np.asarray(t_d)
             self._drift_dev = None
@@ -427,9 +465,9 @@ class SlamSystem:
         if stage == "extract":
             self._lc_stage_extract(job)
         elif stage == "cand":
-            self._lc_stage_cand(job)
+            self._lc_stage_cand(job, due_h)
         elif stage == "commit":
-            self._lc_stage_commit(job)
+            self._lc_stage_commit(job, due_h)
         if job.get("done"):
             self._lc_jobs.pop(0)
 
@@ -468,9 +506,9 @@ class SlamSystem:
         self._db_count += 1
         self._db_seqs.append(self.seq)
 
-    def _lc_stage_cand(self, job):
+    def _lc_stage_cand(self, job, due_h=None):
         cfg = self.pg_cfg
-        cand_i, cand_s = jax.device_get(job["cand_dev"])
+        cand_i, cand_s = due_h if due_h is not None else jax.device_get(job["cand_dev"])
         k = job["k"]
         # candidates from other sequences/maps skip the recency check (the
         # exclusion zone only guards against trivial same-trajectory matches)
@@ -494,9 +532,9 @@ class SlamSystem:
             ),
         )
 
-    def _lc_stage_commit(self, job):
+    def _lc_stage_commit(self, job, due_h=None):
         job["done"] = True
-        lr = jax.device_get(job["lr_dev"])
+        lr = due_h if due_h is not None else jax.device_get(job["lr_dev"])
         if not bool(lr.ok):
             return
         k, cand = job["k"], job["cand"]
