@@ -26,7 +26,13 @@ jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: xdist workers compiling the same program
 # share one XLA compile (first worker writes, the rest read), and repeated
 # suite runs start warm — the suite is compile-bound on small CPU boxes.
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache_tests")
+import tempfile  # noqa: E402
+
+_cache_dir = os.environ.get(
+    "VPLINES_TEST_JAX_CACHE",
+    os.path.join(tempfile.gettempdir(), "jax_cache_vplines_tests"),
+)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -63,8 +63,10 @@ def pack_output(out: StepOutput):
     """Flatten a StepOutput into ONE [28] f32 vector on device.  A pipelined
     host caller fetches this single array instead of a 12-leaf pytree — over
     a remote-TPU link every leaf can cost a round trip (docs/PERF.md)."""
-    dtype = out.p.dtype
-    sc = lambda x: jnp.asarray(x, dtype).reshape(-1)
+    # always f32 (as documented above): under a bf16 engine, packing in the
+    # state dtype would truncate ba_cost and the relo relative pose (~0.4%
+    # rel.), degrading the loop-closure edge recorded via _finish_frame
+    sc = lambda x: jnp.asarray(x, jnp.float32).reshape(-1)
     return jnp.concatenate([
         sc(out.p), sc(out.q), sc(out.v), sc(out.ba), sc(out.bg),
         sc(out.is_keyframe), sc(out.failure), sc(out.ba_cost),

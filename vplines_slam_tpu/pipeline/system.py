@@ -288,7 +288,7 @@ class SlamSystem:
                     )
         with tm.time("loop_stage"):
             if fetched_due or due_dev is None:
-                self._advance_loop_stage(due_h)
+                self._advance_loop_stage(due_h, due_dev)
             else:
                 self._advance_loop_stage()
 
@@ -441,7 +441,7 @@ class SlamSystem:
                 return job["lr_dev"]
         return None
 
-    def _advance_loop_stage(self, due_h=None):
+    def _advance_loop_stage(self, due_h=None, due_dev=None):
         """Advance the staged loop-closure pipeline by ONE step (≤1 small
         readback): extract/retrieve -> candidate check -> verify -> commit,
         plus the deferred drift fetch.  The frame path never blocks on the
@@ -449,11 +449,18 @@ class SlamSystem:
         pose-graph process (pose_graph_node.cpp:294, optimize4DoF:403).
 
         due_h: the host value of _lc_due_dev() if the caller prefetched it
-        (add_image batches it with the frame readback); None -> fetch here.
+        (add_image batches it with the frame readback); due_dev is the device
+        handle it was fetched FROM.  _finish_frame may have changed which
+        handle is due (e.g. the relo path dispatches a new PGO drift), so a
+        prefetched value is consumed ONLY when the handle still matches —
+        otherwise we fall back to a fresh device_get.
         """
         # deferred drift fetch from a previously dispatched 4-DoF solve
         if self._drift_dev is not None:
-            R_d, t_d = due_h if due_h is not None else jax.device_get(self._drift_dev)
+            if due_h is not None and due_dev is self._drift_dev:
+                R_d, t_d = due_h
+            else:
+                R_d, t_d = jax.device_get(self._drift_dev)
             self.R_drift = np.asarray(R_d)
             self.t_drift = np.asarray(t_d)
             self._drift_dev = None
@@ -465,9 +472,9 @@ class SlamSystem:
         if stage == "extract":
             self._lc_stage_extract(job)
         elif stage == "cand":
-            self._lc_stage_cand(job, due_h)
+            self._lc_stage_cand(job, due_h if due_dev is job.get("cand_dev") else None)
         elif stage == "commit":
-            self._lc_stage_commit(job, due_h)
+            self._lc_stage_commit(job, due_h if due_dev is job.get("lr_dev") else None)
         if job.get("done"):
             self._lc_jobs.pop(0)
 

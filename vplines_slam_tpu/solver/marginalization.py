@@ -123,6 +123,17 @@ def marginalize_window(J, r, nd, dense_start, dense_size,
     out in ASCENDING eigenvalue order, so the caller's later [:nd,:nd] crop
     kept mostly zero rows (measured rank 4 of ~90, r03).  Here the rows are
     placed at the kept dims' own indices — the crop is lossless.
+
+    APPROXIMATION NOTE: the per-block eigen-clipping (raw point diagonals,
+    per-line eigh(4), then eigh(dense_size)) equals the generic joint-eigh
+    clip only when the eliminated blocks are well-conditioned.  A
+    near-singular landmark block (e.g. point diagonal ≈ eps from a
+    zero-parallax track) clips in a different basis than the joint
+    factorization would; both variants zero the unobservable direction, but
+    the retained information can differ at O(eps) scale.  The accepted
+    divergence is documented by test_marginalization_near_singular
+    (tests/test_solver.py); the generic `marginalize` keeps exact reference
+    semantics for callers that need them.
     """
     import numpy as np
 
