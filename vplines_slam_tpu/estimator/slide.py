@@ -191,6 +191,29 @@ def keyframe_parallax(data: TrackData, cfg: WindowConfig, frame_idx):
 # ---------------------------------------------------------------------------
 
 
+def gauge_nullspace(state: WindowState, cfg: WindowConfig):
+    """[nd, 4] basis of the window's unobservable (gauge) directions at the
+    linearization point: global translation (3 cols) and rotation about
+    gravity (yaw).  In the delta layout of retract_state: p += δp,
+    q ← q·exp(δθ) (body-frame), v += δv — a global yaw rotation by α is
+    δp_k = α ẑ×p_k, δθ_k = α R_kᵀẑ, δv_k = α ẑ×v_k.  Extrinsic and relo
+    dims are observable (zero rows)."""
+    nf, nd = cfg.nf, cfg.nd
+    dtype = state.p.dtype
+    z = jnp.array([0.0, 0.0, 1.0], dtype)
+    Nb = jnp.zeros((nd, 4), dtype)
+    rows = jnp.arange(nf) * 15
+    for t in range(3):
+        Nb = Nb.at[rows + t, t].set(1.0)
+    dp = jnp.cross(jnp.broadcast_to(z, (nf, 3)), state.p)
+    dth = jax.vmap(lambda q: quat_rotate(quat_conj(q), z))(state.q)
+    dv = jnp.cross(jnp.broadcast_to(z, (nf, 3)), state.v)
+    for c, vals in ((0, dp), (3, dth), (6, dv)):
+        for j in range(3):
+            Nb = Nb.at[rows + c + j, 3].set(vals[:, j])
+    return Nb
+
+
 def marginalize_old(
     state: WindowState, data: TrackData, cfg: WindowConfig, params: imu_mod.ImuParams
 ) -> marg_mod.Prior:
@@ -240,7 +263,22 @@ def marginalize_old(
     # prior lives on the dense block only (landmark columns are exactly zero)
     Jp = Jp_full[:nd, :nd]
     rp = rp_full[:nd]
-    return marg_mod.Prior(J=Jp, r0=rp, valid=jnp.asarray(True))
+    # remove spurious f32 gauge stiffness exactly (see project_out_nullspace)
+    Jp = marg_mod.project_out_nullspace(Jp, gauge_nullspace(state, cfg))
+    # χ²-capped prior: when the marginalized factor set is inconsistent at
+    # its own linearization point (mean whitened square ms over the active
+    # non-prior rows ≫ the clean-data level), its linearization errors are
+    # the same order as its information — baking it in at full strength
+    # locks those errors into every future window.  Scale the √-prior by
+    # α = min(1, m0/ms): identity on clean windows, information ∝ 1/ms²
+    # beyond (r04 sweep: n1-noise ATE 0.61 → 0.15 with n0/n0.5 unchanged).
+    # The reference has no equivalent (ceres f64 + double-counted prior);
+    # this is a robustness improvement, not a parity feature.
+    r_vis = r0[nd:]  # IMU + point + line rows (prior rows are the first nd)
+    nz = jnp.sum((jnp.abs(r_vis) > 0).astype(r_vis.dtype))
+    ms = jnp.sum(r_vis * r_vis) / jnp.maximum(nz, 1.0)
+    alpha = jnp.minimum(1.0, cfg.prior_chi2_cap / jnp.maximum(ms, 1e-9))
+    return marg_mod.Prior(J=Jp * alpha, r0=rp * alpha, valid=jnp.asarray(True))
 
 
 def _shift_frames(arr, nf):
@@ -260,6 +298,33 @@ def slide_window_old(
     of frame-0 features to the new frame 0, drop dead tracks, permute prior
     columns."""
     nf = cfg.nf
+
+    # --- consistent marginalization: retire absorbed tracks ----------------
+    # marginalize_old just folded every solved frame-0-anchored track (and
+    # line) into the prior over ALL its observations.  The reference then
+    # re-anchors those features and re-adds their factors to every later BA
+    # (removeBackShiftDepth:800) — counting frames-1..N information TWICE
+    # (once inside the prior, once live), a known VINS-Mono inconsistency
+    # that is tolerable at ceres-f64 but measured here to dominate the
+    # noise-scaling of ATE (r04: 0.5 px 0.18→0.06, 0 px 0.034→0.016 when
+    # absorbed tracks retire instead).  A retired id re-enters as a fresh
+    # track on its next detection, so only future observations are lost
+    # from the live window — and those arrive with the new track.
+    absorbed_pt = (data.pt_start == 0) & (data.pt_id >= 0) & data.pt_solved
+    first_obs_l = jnp.argmax(data.ln_mask, axis=1)
+    n_obs_l = jnp.sum(data.ln_mask, axis=1)
+    absorbed_ln = (
+        (first_obs_l == 0) & (data.ln_id >= 0) & data.ln_solved
+        & (n_obs_l >= cfg.line_min_obs)
+    )
+    data = data._replace(
+        pt_id=jnp.where(absorbed_pt, -1, data.pt_id),
+        pt_mask=data.pt_mask & ~absorbed_pt[:, None],
+        pt_solved=data.pt_solved & ~absorbed_pt,
+        ln_id=jnp.where(absorbed_ln, -1, data.ln_id),
+        ln_mask=data.ln_mask & ~absorbed_ln[:, None],
+        ln_solved=data.ln_solved & ~absorbed_ln,
+    )
 
     # --- re-anchor frame-0 point depths to (old) frame 1 ------------------
     q_wc = jax.vmap(lambda q: quat_mul(q, state.q_ic))(state.q)
@@ -383,6 +448,11 @@ def slide_window_new(
     nd = cfg.nd
     Jp, rp = marg_mod.marginalize_window(
         data.prior.J, data.prior.r0, nd, dense_start=15 * s, dense_size=15,
+    )
+    # the exact Schur complement preserves the prior's gauge nullspace, but
+    # f32 re-injects O(ulp·‖H‖) gauge stiffness per slide — re-project
+    Jp = marg_mod.project_out_nullspace(
+        Jp, gauge_nullspace(data.prior_state, cfg)
     )
     # permute: frame s <- frame n (dims of dropped frame become the newest's)
     perm = jnp.arange(nd, dtype=jnp.int32)

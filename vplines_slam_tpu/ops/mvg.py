@@ -160,9 +160,15 @@ def triangulate_tracks(poses_R, poses_t, obs, mask):
         tr = jnp.trace(H) / 3.0
         Hd = H + 1e-10 * tr * jnp.eye(3, dtype=A.dtype)
         X = -_solve3x3(Hd, B.T @ b)
-        # relative conditioning: det(H)/tr^3 ~ (sigma_min/sigma_max)-ish
+        # relative conditioning gate: det/tr³ ≈ 3.4·(λ_min/λ_max) for the
+        # near-rank-2 low-parallax case, so the threshold bounds the depth
+        # noise amplification by cond(H).  f32 needs a much stronger gate
+        # than f64: at eps=1e-9 it accepts cond up to ~1e8, far beyond f32
+        # solve fidelity — garbage depths then pass the z>0.1 sanity check
+        # and drag the window BA (r04: n1-noise ATE wander).
+        eps_tri = 1e-9 if jnp.dtype(A.dtype).itemsize > 4 else 3e-5
         det = jnp.linalg.det(Hd)
-        good = det > 1e-9 * jnp.maximum(tr, 1e-30) ** 3
+        good = det > eps_tri * jnp.maximum(tr, 1e-30) ** 3
         return X, good
 
     X, cond_ok = jax.vmap(one)(obs, mask.astype(obs.dtype))

@@ -156,12 +156,26 @@ def make_dist_ba_step(
             # replicated dense-factor block
             Hdd = jax.lax.psum(H_loc[:nd, :nd], "f") + Jd.T @ Jd
             g_d = jax.lax.psum(g_loc[:nd], "f") - Jd.T @ rd0
-            # damping on the FULL (global) diagonal, like schur_solve
             floor = jnp.asarray(lm_cfg.diag_floor, dtype)
-            diag_d = jnp.diag(Hdd)
-            Hdd = Hdd + jnp.diag(lam * diag_d + floor)
-            diag_l = jnp.diag(H_loc)[nd:]
-            damp_l = lam * diag_l + floor
+            # Jacobi preconditioning on the FULL (global) diagonal, exactly
+            # like schur_solve: solve in the scaled space (diag≈1), damping
+            # λ·diag_scaled + floor, unscale the delta at the end.  The
+            # dense scale uses the psum'ed diagonal (replicated); landmark
+            # columns are fully local, so their scales are local too.
+            diag_d_raw = jnp.diag(Hdd)
+            c_d = jnp.where(
+                diag_d_raw > 1e-30, jnp.sqrt(jnp.maximum(diag_d_raw, 1e-30)), 1.0
+            )
+            Hdd = Hdd / (c_d[:, None] * c_d[None, :])
+            g_d = g_d / c_d
+            s_d = diag_d_raw / (c_d * c_d)
+            Hdd = Hdd + jnp.diag(lam * s_d + floor)
+            diag_l_raw = jnp.diag(H_loc)[nd:]
+            c_l = jnp.where(
+                diag_l_raw > 1e-30, jnp.sqrt(jnp.maximum(diag_l_raw, 1e-30)), 1.0
+            )
+            s_l = diag_l_raw / (c_l * c_l)
+            damp_l = lam * s_l + floor
 
             Pl = cfg_loc.max_points
             Ll = cfg_loc.max_lines
@@ -172,20 +186,25 @@ def make_dist_ba_step(
             wp = None
             Wl = None
             if Pl > 0:
-                Hdp = H_loc[:nd, nd : nd + Pl]
-                hp = diag_l[:Pl] + damp_l[:Pl]
-                g_p = g_loc[nd : nd + Pl]
+                Hdp = H_loc[:nd, nd : nd + Pl] / (
+                    c_d[:, None] * c_l[None, :Pl]
+                )
+                hp = s_l[:Pl] + damp_l[:Pl]
+                g_p = g_loc[nd : nd + Pl] / c_l[:Pl]
                 wp = 1.0 / hp
                 corr_S = corr_S + (Hdp * wp[None, :]) @ Hdp.T
                 corr_r = corr_r + Hdp @ (wp * g_p)
             if Ll > 0:
-                Hdl = H_loc[:nd, nd + Pl :].reshape(nd, Ll, 4)
+                c_l4 = c_l[Pl:].reshape(Ll, 4)
+                Hdl = H_loc[:nd, nd + Pl :].reshape(nd, Ll, 4) / (
+                    c_d[:, None, None] * c_l4[None, :, :]
+                )
                 Hll = H_loc[nd + Pl :, nd + Pl :].reshape(Ll, 4, Ll, 4)
                 idx = jnp.arange(Ll)
-                Hll_b = Hll[idx, :, idx, :] + jax.vmap(jnp.diag)(
-                    damp_l[Pl:].reshape(Ll, 4)
-                )
-                g_l = g_loc[nd + Pl :].reshape(Ll, 4)
+                Hll_b = Hll[idx, :, idx, :] / (
+                    c_l4[:, :, None] * c_l4[:, None, :]
+                ) + jax.vmap(jnp.diag)(damp_l[Pl:].reshape(Ll, 4))
+                g_l = g_loc[nd + Pl :].reshape(Ll, 4) / c_l4
                 Wl = jnp.linalg.inv(Hll_b)
                 corr_S = corr_S + jnp.einsum("dlk,lkm,elm->de", Hdl, Wl, Hdl)
                 corr_r = corr_r + jnp.einsum("dlk,lkm,lm->d", Hdl, Wl, g_l)
@@ -195,15 +214,15 @@ def make_dist_ba_step(
             cf = jax.scipy.linalg.cho_factor(S, lower=True)
             dd = jax.scipy.linalg.cho_solve(cf, rhs)
 
-            parts = [dd]
+            parts = [dd / c_d]
             if Pl > 0:
                 dp = wp * (g_p - Hdp.T @ dd)
-                parts.append(dp)
+                parts.append(dp / c_l[:Pl])
             if Ll > 0:
                 dl = jnp.einsum(
                     "lkm,lm->lk", Wl, g_l - jnp.einsum("dlk,d->lk", Hdl, dd)
                 )
-                parts.append(dl.reshape(Ll * 4))
+                parts.append((dl / c_l4).reshape(Ll * 4))
             return jnp.concatenate(parts)
 
         x0 = (state, data_loc.pt_inv_depth, data_loc.ln_orth)

@@ -99,6 +99,15 @@ def schur_solve(H, g, spec: SchurSpec, lam, diag_floor=1e-8):
     lam = jnp.asarray(lam, sd)
     dtype = sd
 
+    # Jacobi preconditioning: the whitened window information spans ~7
+    # decades (bias random-walk vs vision), far beyond f32 Cholesky/Schur
+    # fidelity — solve in the scaled space where diag(H)=1, unscale delta.
+    # (λ·diag damping is scale-invariant, so LM semantics are unchanged.)
+    dH = jnp.diag(H)
+    c = jnp.where(dH > 1e-30, jnp.sqrt(jnp.maximum(dH, 1e-30)), 1.0)
+    H = H / (c[:, None] * c[None, :])
+    g = g / c
+
     diag = jnp.diag(H)
     damp = lam * diag + jnp.asarray(diag_floor, dtype)
     Hd = H + jnp.diag(damp)
@@ -137,7 +146,7 @@ def schur_solve(H, g, spec: SchurSpec, lam, diag_floor=1e-8):
     if L > 0:
         dl = jnp.einsum("lkm,lm->lk", Wl, g_l - jnp.einsum("dlk,d->lk", Hdl, dd))
         parts.append(dl.reshape(L * 4))
-    return jnp.concatenate(parts).astype(out_dtype)
+    return (jnp.concatenate(parts) / c).astype(out_dtype)
 
 
 def lm_solve(

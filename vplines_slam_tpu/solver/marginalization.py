@@ -43,7 +43,43 @@ def empty_prior(n, dtype=jnp.float64):
     )
 
 
-def marginalize(J, r, marg_mask, eps=1e-8):
+def _eps_rel(dtype):
+    """Default RELATIVE eigen-clip threshold per dtype.
+
+    The clip must separate true nullspace directions (the window's gauge:
+    global translation + yaw, which the factors cannot observe) from
+    eigenvalue noise.  That noise scales with ‖H‖·ulp(dtype): an absolute
+    1e-8 (the reference's f64 value, marginalization_factor.cpp:334) is
+    far below f32 eigh noise on the whitened window problem (‖H‖ ~ 1e6 →
+    noise ~ 0.1), so in f32 the gauge directions would survive the clip and
+    anchor the window to stale linearization points — measured 10x ATE at
+    0.5 px noise (r04 bisect of the r03 full-rank prior).
+    """
+    return 1e-6 if jnp.dtype(dtype).itemsize <= 4 else 1e-12
+
+
+def _clip_gate(w, eps, floor=1e-30):
+    """Boolean keep-gate for eigenvalues: w > max(eps·max|w|, floor).
+    w: [..., K] eigenvalues (ascending); relative per trailing block."""
+    wmax = jnp.max(jnp.abs(w), axis=-1, keepdims=True)
+    return w > jnp.maximum(eps * wmax, floor)
+
+
+def _col_scale(J, floor=1e-30):
+    """Jacobi (diagonal) preconditioner: per-column norms of J, so the
+    scaled normal matrix (J/c)ᵀ(J/c) has unit diagonal.
+
+    The window's whitened information spans ~7 decades (bias random-walk
+    rows whiten by 1/(σ_w√dt) ~ 1e6 vs vision √info ~ 3e2) — in f32 the
+    Schur/eigh noise floor of the RAW JᵀJ sits ABOVE the visual
+    information, so the prior silently sheds it and the estimator drifts
+    (measured: 0.5 px ATE 1.16 m raw-f32 vs 0.12 m f64; Jacobi-scaled f32
+    restores parity).  Zero columns (inactive dims) scale by 1."""
+    d = jnp.sum(J * J, axis=0)
+    return jnp.where(d > floor, jnp.sqrt(jnp.maximum(d, floor)), 1.0)
+
+
+def marginalize(J, r, marg_mask, eps=None):
     """Build the square-root prior over kept parameters.
 
     Args:
@@ -51,7 +87,8 @@ def marginalize(J, r, marg_mask, eps=1e-8):
          linearized at the current estimate (whitened, masked rows zero).
       r: [R] residual at the linearization point.
       marg_mask: [N] bool, True for parameters to eliminate.
-      eps: eigenvalue threshold for the pseudo-inverses.
+      eps: RELATIVE eigenvalue threshold for the pseudo-inverses (fraction
+         of the largest eigenvalue); None -> dtype-aware default (_eps_rel).
 
     Returns (J_prior [N, N], r_prior [N]) expressed over the SAME N-dim
     parameter layout, with zero columns on the dropped parameters (keeping
@@ -62,9 +99,14 @@ def marginalize(J, r, marg_mask, eps=1e-8):
     out_dtype = J.dtype
     dtype = _solve_dtype(J.dtype)  # f64 Schur/eigh when x64 is on (f32 JᵀJ
     # loses the prior's weak directions across repeated marginalizations)
+    if eps is None:
+        eps = _eps_rel(dtype)
     J = J.astype(dtype)
     r = r.astype(dtype)
     N = J.shape[1]
+    # Jacobi preconditioning (see marginalize_window) — mandatory for f32
+    c = _col_scale(J)
+    J = J / c[None, :]
     H = J.T @ J
     b = J.T @ r
 
@@ -82,7 +124,8 @@ def marginalize(J, r, marg_mask, eps=1e-8):
     # marginalize_window below; this generic version keeps exact reference
     # semantics.
     w, V = jnp.linalg.eigh(Amm)
-    w_inv = jnp.where(w > eps, 1.0 / w, 0.0)
+    keep_w = _clip_gate(w, eps)
+    w_inv = jnp.where(keep_w, 1.0 / w, 0.0)
     Amm_inv = (V * w_inv[None, :]) @ V.T
     # remove the identity we injected on kept slots
     Amm_inv = Amm_inv * m[:, None] * m[None, :]
@@ -97,16 +140,17 @@ def marginalize(J, r, marg_mask, eps=1e-8):
 
     # square root via eigendecomposition (:349-357)
     w2, V2 = jnp.linalg.eigh(A_new)
-    w2c = jnp.where(w2 > eps, w2, 0.0)
+    keep2 = _clip_gate(w2, eps)
+    w2c = jnp.where(keep2, w2, 0.0)
     s = jnp.sqrt(w2c)
-    s_inv = jnp.where(w2 > eps, 1.0 / s, 0.0)
-    J_prior = s[:, None] * V2.T
+    s_inv = jnp.where(keep2, 1.0 / jnp.maximum(s, 1e-30), 0.0)
+    J_prior = (s[:, None] * V2.T) * c[None, :]  # unscale columns
     r_prior = (s_inv[:, None] * V2.T) @ b_new
     return J_prior.astype(out_dtype), r_prior.astype(out_dtype)
 
 
 def marginalize_window(J, r, nd, dense_start, dense_size,
-                       n_points=0, n_lines=0, eps=1e-8):
+                       n_points=0, n_lines=0, eps=None):
     """Fast EXACT marginalization for the window's arrow structure.
 
     Dim layout (static): [0:nd] dense states; dropped dense block =
@@ -141,9 +185,15 @@ def marginalize_window(J, r, nd, dense_start, dense_size,
 
     out_dtype = J.dtype
     dtype = _solve_dtype(J.dtype)
+    if eps is None:
+        eps = _eps_rel(dtype)
     J = J.astype(dtype)
     r = r.astype(dtype)
     N = J.shape[1]
+    # Jacobi preconditioning: all Schur/eigh/clip math runs in the scaled
+    # space where diag(H)=1 (see _col_scale); unscaled at the very end
+    c = _col_scale(J)
+    J = J / c[None, :]
     H = J.T @ J
     b = J.T @ r
 
@@ -154,7 +204,10 @@ def marginalize_window(J, r, nd, dense_start, dense_size,
         p0 = nd
         Cp = H[:nd, p0:p0 + n_points]
         dp = jnp.diagonal(H)[p0:p0 + n_points]
-        dpi = jnp.where(dp > eps, 1.0 / dp, 0.0)
+        # relative clip over the point population: a near-zero diagonal is an
+        # unobserved depth (zero-parallax track), not information
+        keep_p = _clip_gate(dp[None, :], eps)[0]
+        dpi = jnp.where(keep_p, 1.0 / jnp.maximum(dp, 1e-30), 0.0)
         H1 = H1 - (Cp * dpi[None, :]) @ Cp.T
         b1 = b1 - Cp @ (dpi * b[p0:p0 + n_points])
     if n_lines:
@@ -164,7 +217,8 @@ def marginalize_window(J, r, nd, dense_start, dense_size,
         Hll = H[q0:q0 + 4 * L, q0:q0 + 4 * L].reshape(L, 4, L, 4)
         Dl = Hll[jnp.arange(L), :, jnp.arange(L), :]  # [L, 4, 4]
         wl, Vl = jnp.linalg.eigh(Dl)
-        wli = jnp.where(wl > eps, 1.0 / wl, 0.0)
+        keep_l = _clip_gate(wl, eps)  # per-block relative
+        wli = jnp.where(keep_l, 1.0 / jnp.maximum(wl, 1e-30), 0.0)
         Dli = jnp.einsum("lab,lb,lcb->lac", Vl, wli, Vl)
         H1 = H1 - jnp.einsum("nla,lab,mlb->nm", Cl, Dli, Cl)
         b1 = b1 - jnp.einsum("nla,lab,lb->n", Cl, Dli,
@@ -178,7 +232,8 @@ def marginalize_window(J, r, nd, dense_start, dense_size,
     P00 = H1[np.ix_(midx, midx)]
     Q = H1[np.ix_(kidx, midx)]
     w0, V0 = jnp.linalg.eigh(P00)
-    w0i = jnp.where(w0 > eps, 1.0 / w0, 0.0)
+    keep0 = _clip_gate(w0, eps)
+    w0i = jnp.where(keep0, 1.0 / jnp.maximum(w0, 1e-30), 0.0)
     P00i = (V0 * w0i[None, :]) @ V0.T
     A_new = H1[np.ix_(kidx, kidx)] - Q @ P00i @ Q.T
     b_new = b1[kidx] - Q @ (P00i @ b1[midx])
@@ -186,15 +241,31 @@ def marginalize_window(J, r, nd, dense_start, dense_size,
 
     # ---- stage 3: square root on the kept block (eigh(keep)) --------------
     w2, V2 = jnp.linalg.eigh(A_new)
-    w2c = jnp.where(w2 > eps, w2, 0.0)
+    keep2 = _clip_gate(w2, eps)
+    w2c = jnp.where(keep2, w2, 0.0)
     s = jnp.sqrt(w2c)
-    s_inv = jnp.where(w2 > eps, 1.0 / s, 0.0)
-    Jk = s[:, None] * V2.T
+    s_inv = jnp.where(keep2, 1.0 / jnp.maximum(s, 1e-30), 0.0)
+    Jk = (s[:, None] * V2.T) * c[kidx][None, :]  # unscale columns
     rk = (s_inv[:, None] * V2.T) @ b_new
 
     J_prior = jnp.zeros((N, N), dtype).at[np.ix_(kidx, kidx)].set(Jk)
     r_prior = jnp.zeros((N,), dtype).at[kidx].set(rk)
     return J_prior.astype(out_dtype), r_prior.astype(out_dtype)
+
+
+def project_out_nullspace(J, Nbasis):
+    """Remove information along known-unobservable directions: J ← J(I−QQᵀ)
+    with Q an orthonormal basis of span(Nbasis).
+
+    The window's factors cannot observe global translation and yaw (the
+    4-dim gauge), so the EXACT prior has zero information there — but f32
+    Schur/eigh noise re-injects spurious gauge stiffness that anchors the
+    window to stale linearization points (the classic VIO spurious-
+    information inconsistency, amplified at f32).  Projecting the analytic
+    nullspace out of the √-prior makes the guarantee dtype-independent.
+    """
+    Q, _ = jnp.linalg.qr(Nbasis.astype(J.dtype))
+    return J - (J @ Q) @ Q.T
 
 
 def prior_residual(prior: Prior, dx):
