@@ -86,7 +86,7 @@ def test_selector_prefers_informative_features():
     omega_f = sel.feature_information(
         rays, depths, valid, ps, qs, q_ic, p_ic, pix_sigma=1.0 / 460.0
     )
-    omega_0 = sel.imu_prior_information(dt=0.1, acc_var=0.04)
+    omega_0 = sel.imu_prior_information(qs, dt=0.1, acc_var=0.04)
     cfg = sel.SelectorConfig()
     chosen, gains = sel.select_features(omega_0, omega_f, valid, budget=4, cfg=cfg)
     assert int(jnp.sum(chosen)) == 4
@@ -110,3 +110,74 @@ def test_selector_horizon_propagation():
     # rough agreement with the true future (constant-IMU approximation)
     p_true = traj.pos(t0 + 0.4)
     assert float(jnp.linalg.norm(ps[-1] - p_true)) < 0.1
+
+
+def test_selector_feature_info_matches_reference_structure():
+    """feature_information parity with calcInfoFromFeatures:415-530: bearing
+    factors C_i = B_iᵀB_i, landmark marginalized in closed form, Schur cross
+    blocks −C_i W C_jᵀ on every state pair (45×45), zero when seen <2 poses."""
+    ident = jnp.array([1.0, 0.0, 0.0, 0.0])
+    h = sel.HORIZON
+    ps = jnp.stack([jnp.array([0.2 * k, 0.05 * k, 0.0]) for k in range(h + 1)])
+    qs = jnp.stack([ident] * (h + 1))
+    rays = jnp.asarray([[0.1, -0.05, 1.0], [5.0, 5.0, 1.0]])  # 2nd leaves FOV
+    depths = jnp.asarray([4.0, 4.0])
+    valid = jnp.ones(2, bool)
+    O = sel.feature_information(rays, depths, valid, ps, qs, ident, jnp.zeros(3))
+    assert O.shape == (2, 45, 45)
+    Of = np.asarray(O[0])
+    # symmetric PSD with nonzero CROSS-frame position coupling
+    np.testing.assert_allclose(Of, Of.T, atol=1e-10)
+    w = np.linalg.eigvalsh(Of)
+    assert w.min() > -1e-8
+    cross = Of[0:3, 9:12]
+    assert np.abs(cross).max() > 1e-3, "missing Schur cross-frame coupling"
+    # the landmark's 3 dof are marginalized: the total information along the
+    # landmark's own position directions has a 3-dim nullspace contribution
+    # -> rank(Delta) <= 3*(H+1) - 3
+    assert np.linalg.matrix_rank(Of, tol=1e-8) <= 3 * (h + 1) - 3
+    # out-of-FOV feature (visible only at the observation frame) adds nothing
+    np.testing.assert_allclose(np.asarray(O[1]), 0.0, atol=1e-12)
+
+
+def test_selector_greedy_matches_bruteforce_logdet():
+    """Greedy max-logdet selection overlap against brute-force enumeration
+    on a small synthetic problem (the VERDICT-r3 validation ask)."""
+    import itertools
+
+    rng = np.random.default_rng(7)
+    ident = jnp.array([1.0, 0.0, 0.0, 0.0])
+    h = sel.HORIZON
+    ps = jnp.stack([jnp.array([0.15 * k, 0.0, 0.02 * k]) for k in range(h + 1)])
+    qs = jnp.stack([ident] * (h + 1))
+    N, budget = 8, 3
+    rays = jnp.asarray(
+        np.concatenate(
+            [rng.uniform(-0.5, 0.5, (N, 2)), np.ones((N, 1))], axis=1
+        )
+    )
+    depths = jnp.asarray(rng.uniform(2.0, 8.0, N))
+    valid = jnp.ones(N, bool)
+    Of = sel.feature_information(rays, depths, valid, ps, qs, ident, jnp.zeros(3))
+    O0 = sel.imu_prior_information(qs, dt=0.1, acc_var=0.04)
+
+    cfg = sel.SelectorConfig(max_features=budget)
+    chosen, _ = sel.select_features(O0, Of, valid, budget=budget, cfg=cfg)
+    greedy_set = frozenset(np.flatnonzero(np.asarray(chosen)).tolist())
+
+    def logdet(M):
+        return np.linalg.slogdet(np.asarray(M) + 1e-9 * np.eye(45))[1]
+
+    best_set, best_ld = None, -np.inf
+    for combo in itertools.combinations(range(N), budget):
+        ld = logdet(O0 + sum(Of[i] for i in combo))
+        if ld > best_ld:
+            best_ld, best_set = ld, frozenset(combo)
+
+    greedy_ld = logdet(O0 + sum(Of[i] for i in greedy_set))
+    # greedy is (1-1/e)-optimal for submodular logdet; on this small problem
+    # it should overlap the brute-force optimum in >= 2 of 3 picks and reach
+    # >= 95% of the optimal logdet GAIN
+    base = logdet(O0)
+    assert len(greedy_set & best_set) >= 2, (greedy_set, best_set)
+    assert (greedy_ld - base) >= 0.95 * (best_ld - base)

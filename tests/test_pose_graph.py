@@ -256,3 +256,92 @@ def test_map_save_load_roundtrip(tmp_path):
     assert int(db2.count) == 10
     np.testing.assert_allclose(np.asarray(db2.p_vio), np.asarray(db.p_vio))
     np.testing.assert_array_equal(np.asarray(db2.seq), np.asarray(db.seq))
+
+
+def test_multicandidate_loop_verifies_oldest_first():
+    """Gated retrieval candidates are verified OLDEST-first with fallback:
+    the reference picks the min-index candidate among those above the
+    secondary score gate (pose_graph.cpp detectLoop:374-383 min_index); on
+    top of that, if PnP verification fails the next-oldest eligible
+    candidate is tried (the reference gives up).  Exercised through the
+    SlamSystem staging machinery with scripted retrieval/verification."""
+    from vplines_slam_tpu.models import camera as cam_mod
+    from vplines_slam_tpu.pipeline.system import SlamSystem
+
+    cam = cam_mod.pinhole(fx=460.0, fy=460.0, cx=376.0, cy=240.0,
+                          width=752, height=480)
+    cfg = pg.PoseGraphConfig(max_keyframes=64, skip_recent=3, top_k=4,
+                             min_score=0.08, min_score_2=0.024)
+    sys_ = SlamSystem(cam, pg_cfg=cfg, use_loop_closure=True)
+    sys_._db_count = 40
+    sys_._db_seqs = [1] * 40
+    sys_.seq = 1
+
+    verified = []
+
+    def fake_verify(db, cand, *a, **kw):
+        c = int(cand)
+        verified.append(c)
+        ok = c == 12  # the best-scored cand (30) fails PnP; older 12 passes
+        return pg.LoopResult(
+            ok=jnp.asarray(ok),
+            rel_t=jnp.zeros(3), rel_yaw=jnp.asarray(0.0),
+            n_inliers=jnp.asarray(25 if ok else 0),
+            obs_old=jnp.zeros((cfg.n_window_pts, 2)),
+            match_mask=jnp.zeros(cfg.n_window_pts, bool),
+            p_old=jnp.zeros(3), q_old=jnp.asarray([1.0, 0.0, 0.0, 0.0]),
+        )
+
+    recorded = []
+    sys_._jit_verify = fake_verify
+    sys_._jit_record_loop = lambda db, k, c, t, y: recorded.append(
+        (int(k), int(c))
+    ) or db
+    sys_._run_pgo = lambda: None
+
+    # retrieval: best score at idx 30, older eligible ones at 12 and 20,
+    # idx 5 below the secondary gate -> ineligible
+    cand_i = np.asarray([30, 20, 12, 5])
+    cand_s = np.asarray([0.50, 0.30, 0.10, 0.01])
+    job = dict(stage="cand", k=39, cand_dev=None,
+               fb=dict(wdesc=None), w3d=None, w_valid=None,
+               w_ids=np.arange(cfg.n_window_pts),
+               Rb=jnp.eye(3), tb=jnp.zeros(3),
+               q_b=jnp.asarray([1.0, 0.0, 0.0, 0.0]),
+               p_kf=jnp.zeros(3), q_kf=jnp.asarray([1.0, 0.0, 0.0, 0.0]))
+    sys_._lc_jobs.append(job)
+    sys_._lc_stage_cand(job, due_h=(cand_i, cand_s))
+    # oldest eligible (12) dispatched first
+    assert verified == [12]
+    assert job["stage"] == "commit"
+    sys_._lc_stage_commit(job)   # 12 verifies -> loop recorded, done
+    assert job.get("done")
+    assert recorded == [(39, 12)]
+
+    # second scenario: oldest (12) fails, fallback verifies 20 then 30
+    verified.clear()
+    recorded.clear()
+
+    def fake_verify2(db, cand, *a, **kw):
+        c = int(cand)
+        verified.append(c)
+        ok = c == 30
+        return pg.LoopResult(
+            ok=jnp.asarray(ok), rel_t=jnp.zeros(3), rel_yaw=jnp.asarray(0.0),
+            n_inliers=jnp.asarray(25 if ok else 0),
+            obs_old=jnp.zeros((cfg.n_window_pts, 2)),
+            match_mask=jnp.zeros(cfg.n_window_pts, bool),
+            p_old=jnp.zeros(3), q_old=jnp.asarray([1.0, 0.0, 0.0, 0.0]),
+        )
+
+    sys_._jit_verify = fake_verify2
+    job2 = dict(job, stage="cand", done=False)
+    sys_._lc_stage_cand(job2, due_h=(cand_i, cand_s))
+    sys_._lc_stage_commit(job2)  # 12 fails -> dispatch 20
+    assert not job2.get("done")
+    sys_._lc_stage_commit(job2)  # 20 fails -> dispatch 30
+    assert not job2.get("done")
+    sys_._lc_stage_commit(job2)  # 30 verifies
+    assert job2.get("done")
+    assert verified == [12, 20, 30]
+    assert recorded == [(39, 30)]

@@ -275,8 +275,12 @@ def marginalize_old(
     # The reference has no equivalent (ceres f64 + double-counted prior);
     # this is a robustness improvement, not a parity feature.
     r_vis = r0[nd:]  # IMU + point + line rows (prior rows are the first nd)
-    nz = jnp.sum((jnp.abs(r_vis) > 0).astype(r_vis.dtype))
-    ms = jnp.sum(r_vis * r_vis) / jnp.maximum(nz, 1.0)
+    # energy-weighted mean square Σr⁴/Σr² (not a plain mean over nonzero
+    # rows): robust to populations of near-zero rows — e.g. line factors,
+    # whose fit-statistics noise is ~5x below the point noise, would
+    # otherwise dilute ms and silently disable the temper when lines are on
+    r2 = r_vis * r_vis
+    ms = jnp.sum(r2 * r2) / jnp.maximum(jnp.sum(r2), 1e-12)
     alpha = jnp.minimum(1.0, cfg.prior_chi2_cap / jnp.maximum(ms, 1e-9))
     return marg_mod.Prior(J=Jp * alpha, r0=rp * alpha, valid=jnp.asarray(True))
 

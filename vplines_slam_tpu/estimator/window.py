@@ -76,9 +76,10 @@ class WindowConfig(NamedTuple):
     ba_iters: int = 8  # NUM_ITERATIONS
     line_min_obs: int = 5  # LINE_MIN_OBS (parameters.h); tests may relax
     # χ²-consistency cap on the marginalization prior (see marginalize_old):
-    # α = min(1, cap/ms) where ms = mean whitened square of the marginalized
-    # rows.  ~0.2 ≈ clean-data level for the euroc whitening profile.
-    prior_chi2_cap: float = 0.2
+    # α = min(1, cap/ms) where ms = ENERGY-WEIGHTED mean whitened square
+    # (Σr⁴/Σr², = 3σ² on clean gaussian rows) of the marginalized rows.
+    # 0.6 ≈ 3 × the clean-data plain-mean level of the euroc whitening.
+    prior_chi2_cap: float = 0.6
     init_min_corres: int = 20  # relativePose correspondence gate
     init_min_parallax: float = 30.0 / 460.0  # relativePose parallax gate
 

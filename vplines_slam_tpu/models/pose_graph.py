@@ -49,7 +49,12 @@ class PoseGraphConfig(NamedTuple):
     n_features: int = 256  # FAST+BRIEF per keyframe (reference: 500)
     n_window_pts: int = 64  # tracked window points carried for PnP
     skip_recent: int = 50  # detectLoop exclusion zone
-    min_score: float = 0.08  # coarse signature gate (DBoW 0.015 analog)
+    min_score: float = 0.08  # best-candidate gate (DBoW 0.05 analog)
+    # secondary gate for the non-best candidates (DBoW 0.015 analog,
+    # pose_graph.cpp:374-383): all candidates above it are verification-
+    # eligible, tried OLDEST-first — looping to the oldest map region
+    # maximizes drift correction
+    min_score_2: float = 0.024
     top_k: int = 4
     min_matches: int = 20  # MIN_LOOP_NUM
     pnp_thresh: float = 8.0 / 460.0

@@ -27,15 +27,17 @@ import jax.numpy as jnp
 
 from ..utils.geometry import quat_rotate, quat_to_rot
 
-HORIZON = 4  # future frames (state_defs.h)
-STATE_SIZE = 9  # [p(3), v(3), θ... reference uses 9: p,v,+?]; p,v,g-dir terms
-DIM = HORIZON * STATE_SIZE  # 36 coupling blocks + anchor -> use H*9
+HORIZON = 4  # future frames (state_defs.h:16)
+STATE_SIZE = 9  # [p(3), v(3), b_a(3)] (state_defs.h:18, paper III-B1)
+DIM = (HORIZON + 1) * STATE_SIZE  # 45: states k..k+H (omega_horizon_t)
 
 
 class SelectorConfig(NamedTuple):
     max_features: int = 60  # kappa: budget of tracked features passed on
     init_threshold: int = 30  # pass-through when fewer candidates than this
-    acc_var: float = 0.01
+    acc_var: float = 0.01  # accVarDTime_: accel noise variance (discrete)
+    acc_bias_var: float = 1e-4  # accBiasVarDTime_
+    n_imu_per_frame: int = 20  # IMU samples per horizon step (static shape)
     pix_sigma: float = 1.0 / 460.0
 
 
@@ -58,81 +60,130 @@ def propagate_horizon(p0, q0, v0, ba, bg, acc_mean, gyr_mean, dt, g, horizon=HOR
     return ps, qs, vs
 
 
-def imu_prior_information(dt, acc_var, horizon=HORIZON):
-    """Block-tridiagonal information of the linear IMU model over the horizon
-    (createLinearImuMatrices / calcInfoFromRobotMotion), condensed to the
-    [h*9, h*9] prior Omega_IMU."""
-    # per-step linear model x_{k+1} = A x_k + w, x = [p, v, extra]
+def _slerp(q0, q1, t):
+    """Quaternion slerp (shortest arc), branchless for small angles."""
+    d = jnp.sum(q0 * q1)
+    q1 = jnp.where(d < 0, -q1, q1)
+    d = jnp.abs(jnp.clip(d, -1.0, 1.0))
+    th = jnp.arccos(d)
+    sth = jnp.sin(th)
+    use_lerp = sth < 1e-6
+    w0 = jnp.where(use_lerp, 1.0 - t, jnp.sin((1.0 - t) * th) / jnp.where(use_lerp, 1.0, sth))
+    w1 = jnp.where(use_lerp, t, jnp.sin(t * th) / jnp.where(use_lerp, 1.0, sth))
+    q = w0 * q0 + w1 * q1
+    return q / jnp.linalg.norm(q)
+
+
+def _linear_imu_block(q_i, q_j, n_imu, dt_imu, acc_var, acc_bias_var):
+    """(Ω, Ablk) of one horizon step from the linear IMU model
+    (createLinearImuMatrices, feature_selector.cpp: paper eqs 47-52):
+    "pre-integrates" n_imu slerped attitudes into the Nij/Mij coupling of
+    position/velocity to the accel bias, and the IMU noise covariance."""
     I3 = jnp.eye(3)
-    Z3 = jnp.zeros((3, 3))
-    A = jnp.block([[I3, dt * I3, Z3], [Z3, I3, Z3], [Z3, Z3, I3]])
-    # process noise on v (accelerometer) and p through integration
-    Qi = jnp.block(
-        [
-            [0.25 * dt**4 * acc_var * I3, 0.5 * dt**3 * acc_var * I3, Z3],
-            [0.5 * dt**3 * acc_var * I3, dt**2 * acc_var * I3, Z3],
-            [Z3, Z3, 1e-6 * I3],
-        ]
+
+    def step(carry, i):
+        Nij, Mij, c11, c12 = carry
+        t = i / n_imu
+        R = quat_to_rot(_slerp(q_i, q_j, t))
+        jkh = n_imu - i - 0.5
+        return (Nij + jkh * R, Mij + R, c11 + jkh * jkh, c12 + jkh), None
+
+    (Nij, Mij, c11, c12), _ = jax.lax.scan(
+        step,
+        (jnp.zeros((3, 3)), jnp.zeros((3, 3)), jnp.asarray(0.0), jnp.asarray(0.0)),
+        jnp.arange(n_imu, dtype=jnp.float32),
     )
-    Qi_inv = jnp.linalg.inv(Qi + 1e-9 * jnp.eye(9))
-    n = horizon * STATE_SIZE
+    d2, d3, d4 = dt_imu**2, dt_imu**3, dt_imu**4
+    cov = jnp.zeros((9, 9))
+    cov = cov.at[0:3, 0:3].set(I3 * n_imu * c11 * d4 * acc_var)
+    cov = cov.at[0:3, 3:6].set(I3 * c12 * d3 * acc_var)
+    cov = cov.at[3:6, 0:3].set(I3 * c12 * d3 * acc_var)
+    cov = cov.at[3:6, 3:6].set(I3 * n_imu * d2 * acc_var)
+    cov = cov.at[6:9, 6:9].set(I3 * n_imu * acc_bias_var)
+    Omega = jnp.linalg.inv(cov + 1e-12 * jnp.eye(9))
+    Ablk = -jnp.eye(9)
+    Ablk = Ablk.at[0:3, 3:6].set(-I3 * n_imu * dt_imu)
+    Ablk = Ablk.at[0:3, 6:9].set(Nij * d2)
+    Ablk = Ablk.at[3:6, 6:9].set(Mij * dt_imu)
+    return Omega, Ablk
+
+
+def imu_prior_information(qs, dt, acc_var, acc_bias_var=1e-4,
+                          n_imu=20, horizon=HORIZON):
+    """[45, 45] information of the linear IMU model over states k..k+H
+    (calcInfoFromRobotMotion:622-686 + addOmegaPrior:765 identity anchor):
+    consecutive-state blocks [AᵀΩA, AᵀΩ; ΩA, Ω] accumulated along the
+    horizon, rotations slerped between the propagated attitudes qs."""
+    dt_imu = dt / n_imu
+    n = (horizon + 1) * STATE_SIZE
     O = jnp.zeros((n, n))
-    for k in range(horizon):
-        i = k * STATE_SIZE
-        O = O.at[i : i + 9, i : i + 9].add(Qi_inv)
-        if k > 0:
-            j = (k - 1) * STATE_SIZE
-            O = O.at[j : j + 9, j : j + 9].add(A.T @ Qi_inv @ A)
-            O = O.at[j : j + 9, i : i + 9].add(-A.T @ Qi_inv)
-            O = O.at[i : i + 9, j : j + 9].add(-Qi_inv @ A)
+    for h in range(1, horizon + 1):
+        Om, A = _linear_imu_block(
+            qs[h - 1], qs[h], n_imu, dt_imu, acc_var, acc_bias_var
+        )
+        i, j = (h - 1) * STATE_SIZE, h * STATE_SIZE
+        AtO = A.T @ Om
+        O = O.at[i : i + 9, i : i + 9].add(AtO @ A)
+        O = O.at[i : i + 9, j : j + 9].add(AtO)
+        O = O.at[j : j + 9, i : i + 9].add(AtO.T)
+        O = O.at[j : j + 9, j : j + 9].add(Om)
+    # identity prior on state k keeps det > 0 (addOmegaPrior)
+    O = O.at[0:9, 0:9].add(jnp.eye(9))
     return O
 
 
 def feature_information(
-    rays, depths, track_valid, ps, qs, q_ic, p_ic, pix_sigma, img_fov=0.75
+    rays, depths, track_valid, ps, qs, q_ic, p_ic, pix_sigma=None, img_fov=0.75
 ):
     """Δ-information of each candidate feature over the horizon
-    (calcInfoFromFeatures): anticipated projection jacobians accumulated into
-    per-feature [h*9, h*9] blocks (position part only, like the reference's
-    E_l F blocks).
+    (calcInfoFromFeatures:415-530): per visible horizon frame i the bearing
+    factor C_i = B_iᵀB_i with B_i = [u]×·R_CW (skew of the unit bearing),
+    then the landmark's 3 dof are marginalized in closed form — W = (ΣC)⁻¹ —
+    giving the full cross-frame-coupled 45×45 block structure
+      Δ(i,i) = C_i − C_i W C_iᵀ,   Δ(i,j) = −C_i W C_jᵀ  (i≠j)
+    on the position blocks of states k..k+H (NOT the block-diagonal 3×3
+    approximation of r01-r03).  pix_sigma is accepted for API compatibility
+    and unused — the reference's bearing factors are unwhitened.
 
     rays: [N, 3] current-frame bearing; depths: [N] NN depth guesses.
-    Returns Omega_f [N, h*9, h*9].
+    Returns Omega_f [N, 45, 45].
     """
+    from ..utils.geometry import pose_compose, pose_inverse, skew, transform_point
+
     N = rays.shape[0]
-    h = ps.shape[0] - 1
+    nh = ps.shape[0]  # H+1 states incl. the observation frame (index 0)
     X_w = jax.vmap(
         lambda r, d: quat_rotate(qs[0], quat_rotate(q_ic, r * d) + p_ic) + ps[0]
     )(rays, depths)
 
     def per_feature(xw, ok):
         def per_frame(k):
-            # project into horizon frame k+1
-            q_wc = qs[k + 1]
-            p_wc = ps[k + 1]
-            from ..utils.geometry import pose_compose, pose_inverse, transform_point
-
-            q_cw, p_cw = pose_inverse(*pose_compose(q_wc, p_wc, q_ic, p_ic))
+            q_cw, p_cw = pose_inverse(*pose_compose(qs[k], ps[k], q_ic, p_ic))
             Xc = transform_point(q_cw, p_cw, xw)
             z = Xc[2]
             visible = (z > 0.2) & (jnp.abs(Xc[0] / z) < img_fov) & (
                 jnp.abs(Xc[1] / z) < img_fov
             )
-            # jacobian of the projection wrt the frame-k+1 position (p block)
-            R_cw = quat_to_rot(q_cw)
-            Jproj = (
-                jnp.array([[1.0 / z, 0.0, -Xc[0] / z**2], [0.0, 1.0 / z, -Xc[1] / z**2]])
-                @ R_cw
-            ) / pix_sigma
-            blk = Jproj.T @ Jproj * visible * ok  # [3,3] position information
-            return blk
+            u = Xc / jnp.maximum(jnp.linalg.norm(Xc), 1e-9)
+            B = skew(u) @ quat_to_rot(q_cw)  # keyframe bearing factor
+            return (B.T @ B) * visible * ok, visible
 
-        blocks = jax.vmap(per_frame)(jnp.arange(h))  # [h, 3, 3]
-        O = jnp.zeros((h * STATE_SIZE, h * STATE_SIZE))
-        for k in range(h):
-            i = k * STATE_SIZE
-            O = O.at[i : i + 3, i : i + 3].set(blocks[k])
-        return O
+        C, vis = jax.vmap(per_frame)(jnp.arange(nh))  # [nh,3,3], [nh]
+        n_vis = jnp.sum(vis.astype(jnp.int32))
+        EtE = jnp.sum(C, axis=0)
+        W = jnp.linalg.inv(EtE + 1e-9 * jnp.eye(3))
+        # Schur-coupled blocks over the position dims of every state pair
+        D = jnp.einsum("iab,bc,jdc->ijad", C, W, C)  # C_i W C_jᵀ
+        O = jnp.zeros((nh * STATE_SIZE, nh * STATE_SIZE))
+        for i in range(nh):
+            for j in range(nh):
+                blk = (C[i] if i == j else 0.0) - D[i, j]
+                O = O.at[
+                    i * STATE_SIZE : i * STATE_SIZE + 3,
+                    j * STATE_SIZE : j * STATE_SIZE + 3,
+                ].set(blk)
+        # a landmark seen from <2 poses adds no pose information (:477)
+        return jnp.where(n_vis >= 2, O, jnp.zeros_like(O))
 
     return jax.vmap(per_feature)(X_w, track_valid.astype(rays.dtype))
 

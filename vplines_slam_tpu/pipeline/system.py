@@ -514,21 +514,39 @@ class SlamSystem:
         self._db_seqs.append(self.seq)
 
     def _lc_stage_cand(self, job, due_h=None):
+        """Gate retrieval candidates and queue them for verification
+        OLDEST-first (pose_graph.cpp detectLoop:374-383 min_index): the best
+        candidate must clear min_score (DBoW 0.05 analog); every candidate
+        above min_score_2 (0.015 analog) is eligible.  Unlike the reference,
+        verification falls back to the next-oldest eligible candidate when
+        PnP fails (the reference gives up for that keyframe)."""
         cfg = self.pg_cfg
         cand_i, cand_s = due_h if due_h is not None else jax.device_get(job["cand_dev"])
         k = job["k"]
-        # candidates from other sequences/maps skip the recency check (the
-        # exclusion zone only guards against trivial same-trajectory matches)
-        cand = int(cand_i[0])
-        cross_seq = k > 0 and cand < len(self._db_seqs) and (
-            self._db_seqs[cand] != self.seq
-        )
-        eligible = (k > cfg.skip_recent or cross_seq) and float(
-            cand_s[0]
-        ) > cfg.min_score
-        if not eligible:
+        if float(cand_s[0]) <= cfg.min_score:
             job["done"] = True
             return
+        queue = []
+        for i in range(len(cand_i)):
+            cand, s = int(cand_i[i]), float(cand_s[i])
+            if s <= cfg.min_score_2:
+                continue
+            # candidates from other sequences/maps skip the recency check
+            # (the exclusion zone only guards trivial same-trajectory hits)
+            cross_seq = k > 0 and cand < len(self._db_seqs) and (
+                self._db_seqs[cand] != self.seq
+            )
+            if k > cfg.skip_recent or cross_seq:
+                queue.append((cand, cross_seq))
+        if not queue:
+            job["done"] = True
+            return
+        queue.sort()  # oldest keyframe first
+        job["cand_queue"] = queue
+        self._lc_dispatch_verify(job)
+
+    def _lc_dispatch_verify(self, job):
+        cand, cross_seq = job["cand_queue"].pop(0)
         self._key, key = jax.random.split(self._key)
         job.update(
             stage="commit", cand=cand, cross_seq=cross_seq,
@@ -540,10 +558,16 @@ class SlamSystem:
         )
 
     def _lc_stage_commit(self, job, due_h=None):
-        job["done"] = True
         lr = due_h if due_h is not None else jax.device_get(job["lr_dev"])
         if not bool(lr.ok):
+            if job.get("cand_queue"):
+                # verification failed: fall back to the next-oldest eligible
+                # candidate (one verify per frame, staying in this stage)
+                self._lc_dispatch_verify(job)
+            else:
+                job["done"] = True
             return
+        job["done"] = True
         k, cand = job["k"], job["cand"]
         self.db = self._jit_record_loop(
             self.db, jnp.asarray(k), jnp.asarray(cand),
@@ -607,7 +631,9 @@ class SlamSystem:
             state.p[k], state.q[k], state.v[k], state.ba[k], state.bg[k],
             acc_mean, gyr_mean, dt, self.vio.params.g.astype(rays.dtype),
         )
-        omega_prior = sel.imu_prior_information(dt, scfg.acc_var)
+        omega_prior = sel.imu_prior_information(
+            qs, dt, scfg.acc_var, scfg.acc_bias_var, scfg.n_imu_per_frame
+        )
 
         # depth guesses from the window's solved landmarks (findNNDepth)
         def known(slot):
