@@ -58,20 +58,9 @@ def timeit(fn, n=20):
 
 def make_texture(rng, H, W, grid=True):
     """Multi-octave texture; optional dark grid lines (line-rich world)."""
-    import numpy as np
+    from vplines_slam_tpu.utils.demo import make_texture as mk
 
-    img = np.zeros((H, W), np.float32)
-    for o in range(5):
-        l = rng.standard_normal((H // (2**o) + 1, W // (2**o) + 1))
-        img += np.kron(l, np.ones((2**o, 2**o)))[:H, :W] / (o + 1)
-    img = (img - img.min()) / (img.max() - img.min())
-    img = 0.25 + 0.5 * img
-    if grid:
-        for y in range(40, H, 96):
-            img[y : y + 3, :] *= 0.25
-        for x in range(40, W, 112):
-            img[:, x : x + 3] *= 0.25
-    return img
+    return mk(rng, H, W, grid=grid)
 
 
 def bench_points(jnp, jax):
@@ -151,7 +140,7 @@ def bench_points(jnp, jax):
         f"-> {fps:.1f} fps",
         file=sys.stderr,
     )
-    return {
+    res = {
         "points_fps": round(fps, 2),
         "frontend_ms_xla": round(t_fe * 1e3, 2),
         # r03 decision: the hand-written Pallas KLT kernel was benchmarked
@@ -161,6 +150,34 @@ def bench_points(jnp, jax):
         "ba_ms": round(t_ba * 1e3, 2),
         "ba_mfu_pct": round(ba_mfu, 3) if ba_mfu else None,
     }
+
+    # capacity-headroom sweep (r4 verdict #5): the honest answer to the
+    # dispatch-bound 0.41% MFU — show near-flat ba_ms as the landmark
+    # population grows 4-8x past the reference's ceres budget shapes
+    # (euroc_config.yaml:55 gives ceres 40 ms at ~150 points)
+    for npts in (512, 1024):
+        cfg_n = win_mod.WindowConfig(max_points=npts, max_lines=16, max_imu=32)
+        s_n, d_n, p_n = demo.synthetic_window(
+            cfg_n, dtype=dtype, n_landmarks=max(300, npts + 64),
+            imu_per_interval=20, perturb=0.01,
+        )
+
+        @jax.jit
+        def ba_step_n(state, data):
+            s2, d2, out = win_mod.solve_window(state, data, cfg_n, p_n, num_iters=8)
+            return s2, d2, out.cost
+
+        carry_n = {"s": s_n, "d": d_n}
+
+        def ba_fn_n(i):
+            s2, d2, c = ba_step_n(carry_n["s"], carry_n["d"])
+            carry_n["s"], carry_n["d"] = s2, d2
+            return c
+
+        t_n = timeit(ba_fn_n)
+        res[f"ba_ms_{npts}"] = round(t_n * 1e3, 2)
+        print(f"points: BA @{npts} landmarks {t_n*1e3:.1f} ms", file=sys.stderr)
+    return res
 
 
 def bench_lines(jnp, jax):
@@ -307,6 +324,7 @@ def bench_system(jnp, jax):
 
     from vplines_slam_tpu.models.line_tracker import LineTrackerConfig
 
+    fetch_every = int(os.environ.get("BENCH_FETCH_EVERY", "8"))
     line_cfg = LineTrackerConfig(max_lines=32, equalize=False)  # see bench_lines
     sys_ = SlamSystem(
         CAM,
@@ -318,37 +336,50 @@ def bench_system(jnp, jax):
         pg_cfg=pg_mod.PoseGraphConfig(max_keyframes=128, n_features=128,
                                       n_window_pts=48),
         q_ic=Q_IC, p_ic=P_IC, dtype=dtype,
+        fetch_every=fetch_every,
     )
 
-    # phase 1+2a: host loop (latency metric) over the first 2/3 of frames
+    # phase 1+2a: host loop over the first 2/3 of frames.  fetch_every=K>1
+    # batches K frame outputs per readback (r05), so the honest host metric
+    # is THROUGHPUT over the steady segment (total wall / frames) plus the
+    # per-call latency distribution.
     n_host = 2 * len(frame_times) // 3
     imu_idx = 0
     lat = []
     stage_rows = []
     n_out = 0
+    steady_t0 = None
+    steady_frames = 0
     for fi in range(n_host):
         ft = frame_times[fi]
         while imu_idx < len(imu_times) and imu_times[imu_idx] <= ft + 1e-9:
             sys_.add_imu(imu_times[imu_idx], accs[imu_idx], gyrs[imu_idx])
             imu_idx += 1
         t0 = time.time()
-        out = sys_.add_image(ft, frames[fi])
-        if out is not None:
-            n_out += 1
+        outs = sys_.add_image(ft, frames[fi])
+        if not isinstance(outs, list):
+            outs = [outs] if outs is not None else []
+        n_out += len(outs)
         dt_host = time.time() - t0
-        if out is not None and n_out > 5:  # steady state only
+        if n_out > 5:  # steady state only
+            if steady_t0 is None:
+                steady_t0 = time.time()
+            else:
+                steady_frames += 1
             lat.append(dt_host)
             stage_rows.append(dict(sys_.stats.timers.last))
-    sys_.flush()  # drain the pipelined frame + staged loop-closure work
+    steady_wall = time.time() - (steady_t0 or time.time())
+    sys_.flush()  # drain the pipelined frames + staged loop-closure work
     res = {}
     if not lat:
         print("system bench: VIO never initialized", file=sys.stderr)
         return {"system_fps": None}
+    fps = steady_frames / max(steady_wall, 1e-9)
     med = float(np.median(lat))
-    fps = 1.0 / med
     print(
-        f"system: {len(lat)} steady host frames, median {med*1e3:.1f} ms -> "
-        f"{fps:.1f} fps (init at frame {n_host - n_out})",
+        f"system: {steady_frames} steady host frames in {steady_wall:.2f} s "
+        f"-> {fps:.1f} fps (fetch_every={fetch_every}, per-call median "
+        f"{med*1e3:.1f} ms, init at frame {n_host - n_out})",
         file=sys.stderr,
     )
     keys = sorted({k for row in stage_rows for k in row})
@@ -358,7 +389,11 @@ def bench_system(jnp, jax):
     }
     print(f"system stage medians, steady state (ms): {stages}", file=sys.stderr)
     res.update(
-        {"system_fps": round(fps, 2), "system_median_ms": round(med * 1e3, 2)}
+        {
+            "system_fps": round(fps, 2),
+            "system_median_ms": round(med * 1e3, 2),
+            "system_fetch_every": fetch_every,
+        }
     )
 
     # phase 2b: device-resident scan over the remaining frames (throughput
@@ -415,6 +450,44 @@ def bench_system(jnp, jax):
     return res
 
 
+def bench_accuracy(jnp, jax):
+    """f32-on-chip ATE gate (r4 verdict weak #7): run the artifact harness's
+    quick points config at the PRODUCTION dtype on this backend and FAIL the
+    gate if it exceeds 2x the recorded f64 artifact value (+ an absolute
+    floor for seed noise).  Records the number in BENCH extra either way."""
+    import importlib.util
+    import json as _json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    spec = importlib.util.spec_from_file_location(
+        "make_results", os.path.join(here, "examples", "make_results.py")
+    )
+    mr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mr)
+
+    ate, _ = mr.run_vio(4.0, 0.5, use_lines=False, use_vp=False, seed=0,
+                        dtype=jnp.float32)
+    res = {"ate_f32_quick_05px": round(float(ate), 4)}
+    ref_path = os.path.join(here, "results", "acc_quick_f64.json")
+    if os.path.isfile(ref_path):
+        with open(ref_path) as f:
+            ref = _json.load(f)["ate_quick_05px"]
+        gate = max(2.0 * ref, 0.15)
+        res["ate_f32_gate"] = round(gate, 4)
+        res["ate_f32_gate_ok"] = bool(ate <= gate)
+        lvl = "OK" if ate <= gate else "FAIL"
+        print(f"f32 ATE gate: {ate:.4f} vs gate {gate:.4f} ({lvl}; f64 ref "
+              f"{ref:.4f})", file=sys.stderr)
+        if ate > gate:
+            raise AssertionError(
+                f"f32 ATE {ate:.4f} exceeds gate {gate:.4f} (2x f64 {ref:.4f})"
+            )
+    else:
+        print(f"f32 quick ATE {ate:.4f} (no f64 reference recorded; run "
+              "examples/make_results.py --quick-gate)", file=sys.stderr)
+    return res
+
+
 def main():
     import jax
 
@@ -430,7 +503,7 @@ def main():
     extra = {}
     t_start = time.time()
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "480"))
-    for fn in (bench_points, bench_lines, bench_system):
+    for fn in (bench_points, bench_lines, bench_system, bench_accuracy):
         if time.time() - t_start > budget_s:
             print(f"budget exhausted, skipping {fn.__name__}", file=sys.stderr)
             continue

@@ -55,6 +55,7 @@ def main():
         q_ic=prof.q_ic,
         p_ic=prof.p_ic,
         use_loop_closure=args.loop,
+        mesh=prof.make_mesh(),  # mapping_multichip profile: distributed BA
         dtype=dtype,
     )
 

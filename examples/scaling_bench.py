@@ -96,8 +96,11 @@ def main():
     # collective path works).  T(P,L) = T_repl + c * (P + 4L) fit, swept
     # wide enough (window scale -> mapping scale) that the slope is far
     # above run-to-run noise:
+    # last point = the SHIPPED mapping profile's shape (configs/
+    # mapping_multichip.yaml: 1024 points + 64 lines = 1280 landmark dims,
+    # reachable via VioEngine(mesh=...) / run_euroc --config mapping_multichip)
     sweep = []
-    for P, L in ((128, 32), (512, 64), (1024, 128)):
+    for P, L in ((128, 32), (512, 64), (1024, 64)):
         cfg_s = cfg._replace(max_points=P, max_lines=L)
         st_s, da_s, pr_s = demo.synthetic_window(
             cfg_s, dtype=jnp.float32,
@@ -188,7 +191,9 @@ def main():
         eff2 = None
         for scale, Tl, fl in (
             ("window (128 pts + 32 lines)", T_land, f_land),
-            (f"mapping ({int(ns[-1])} landmark dims)", T_land_map, f_land_map),
+            (f"mapping ({int(ns[-1])} landmark dims = the SHIPPED "
+             "configs/mapping_multichip.yaml profile, VioEngine(mesh=...))",
+             T_land_map, f_land_map),
         ):
             f.write(f"\n**{scale} scale** (landmark work {100*fl:.0f}% of "
                     "step):\n\n")

@@ -130,7 +130,12 @@ def test_selector_feature_info_matches_reference_structure():
     np.testing.assert_allclose(Of, Of.T, atol=1e-10)
     w = np.linalg.eigvalsh(Of)
     assert w.min() > -1e-8
-    cross = Of[0:3, 9:12]
+    # state k (horizon index 0, the current estimator frame) carries NO
+    # feature information: the landmark anchors at the PROPAGATED pose of
+    # the new image (horizon index 1) and its blocks start there
+    # (calcInfoFromFeatures Delta block 9*1; r4 advisor finding)
+    np.testing.assert_allclose(Of[0:9, :], 0.0, atol=1e-12)
+    cross = Of[9:12, 18:21]
     assert np.abs(cross).max() > 1e-3, "missing Schur cross-frame coupling"
     # the landmark's 3 dof are marginalized: the total information along the
     # landmark's own position directions has a 3-dim nullspace contribution

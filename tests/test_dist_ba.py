@@ -85,3 +85,43 @@ def test_dist_ba_matches_truth_and_single_device():
         atol=1e-6,
     )
     np.testing.assert_allclose(float(out.cost), float(out_sc.cost), rtol=1e-6)
+
+
+def test_vio_engine_with_mesh_matches_single_chip():
+    """r5: the distributed solver is product-reachable — VioEngine(mesh=...)
+    runs its track_step through dist_ba and must match the meshless engine
+    bit-for-tolerance on the same frame stream (the SlamSystem/run_euroc
+    mapping_multichip path)."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from vplines_slam_tpu.estimator.vio import VioEngine, track_step
+    from vplines_slam_tpu.estimator.window import WindowConfig
+    from vplines_slam_tpu.models import imu as imu_mod
+    from vplines_slam_tpu.utils import demo
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("f",))
+    cfg = WindowConfig(max_points=32, max_lines=8, max_imu=8, window=4,
+                       line_min_obs=3)
+    state, data, params = demo.synthetic_window(
+        cfg, n_landmarks=80, imu_per_interval=8, perturb=0.01, n_lines=10,
+    )
+    eng_sc = VioEngine(cfg, params)
+    eng_mc = VioEngine(cfg, params, mesh=mesh)
+
+    ids = jnp.full((cfg.max_points,), -1, jnp.int32)
+    rays = jnp.zeros((cfg.max_points, 3)).at[:, 2].set(1.0)
+    imu_batch = (
+        jnp.zeros((cfg.max_imu,)), jnp.zeros((cfg.max_imu + 1, 3)),
+        jnp.zeros((cfg.max_imu + 1, 3)), jnp.zeros((cfg.max_imu,), bool),
+        jnp.asarray(False),
+    )
+    s_sc, d_sc, out_sc = eng_sc._track_step(state, data, ids, rays, (), imu_batch)
+    s_mc, d_mc, out_mc = eng_mc._track_step(state, data, ids, rays, (), imu_batch)
+    np.testing.assert_allclose(np.asarray(s_mc.p), np.asarray(s_sc.p), atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(d_mc.pt_inv_depth), np.asarray(d_sc.pt_inv_depth), atol=5e-5
+    )
+    np.testing.assert_allclose(
+        float(out_mc.ba_cost), float(out_sc.ba_cost), rtol=1e-5
+    )

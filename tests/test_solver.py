@@ -294,3 +294,103 @@ def test_marginalization_near_singular():
     # not O(1) — this is the accepted approximation, quantified
     scale = max(np.linalg.norm(Hg), 1.0)
     assert np.linalg.norm(Hw - Hg) / scale < 1e-3
+
+
+def test_project_out_nullspace_exact_on_kept_subspace():
+    """r5: the gauge projection must (a) kill injected f32-style spurious
+    stiffness along the nullspace basis, (b) stay EXACT when the basis has
+    rows on just-eliminated dims (zero prior columns) — the QR-of-full-basis
+    variant left ~1/nf of the kept-subspace component and wrote nonzero
+    entries into eliminated columns (r4 advisor finding)."""
+    rng = np.random.default_rng(5)
+    n, nb = 24, 4
+    # prior with zero columns on dims 0..5 (an eliminated frame)
+    J = rng.standard_normal((n, n))
+    J[:, 0:6] = 0.0
+    # nullspace basis with nonzero rows everywhere (like gauge_nullspace)
+    Nb = rng.standard_normal((n, nb))
+    # inject spurious stiffness along the kept-subspace component of Nb
+    keep = np.ones(n, bool)
+    keep[0:6] = False
+    Nk = Nb * keep[:, None]
+    Nk_orth, _ = np.linalg.qr(Nk)
+    J_noisy = J + 0.1 * rng.standard_normal((n, nb)) @ Nk_orth.T
+
+    Jp = np.asarray(
+        marg_mod.project_out_nullspace(jnp.asarray(J_noisy), jnp.asarray(Nb))
+    )
+    # (a) no information left along the kept-subspace gauge directions
+    assert np.linalg.norm(Jp @ Nk) < 1e-10 * max(np.linalg.norm(Jp), 1.0)
+    # (b) eliminated columns stay (numerically) untouched: the projector
+    # writes nothing beyond the O(ulp) dust the inputs already carried
+    assert np.abs(Jp[:, 0:6]).max() < 1e-12
+    # (c) information orthogonal to the gauge is untouched
+    P = np.eye(n) - Nk_orth @ Nk_orth.T
+    np.testing.assert_allclose(Jp @ P, J_noisy @ P, atol=1e-10)
+
+
+def test_project_out_nullspace_drops_annihilated_basis_columns():
+    """A basis column living entirely on eliminated dims must drop out (the
+    SVD mask) instead of polluting the projector with junk directions."""
+    rng = np.random.default_rng(6)
+    n = 12
+    J = rng.standard_normal((n, n))
+    J[:, 0:3] = 0.0
+    Nb = np.zeros((n, 2))
+    Nb[0:3, 0] = rng.standard_normal(3)  # entirely on eliminated dims
+    Nb[3:, 1] = rng.standard_normal(n - 3)  # entirely on kept dims
+    Jp = np.asarray(
+        marg_mod.project_out_nullspace(jnp.asarray(J), jnp.asarray(Nb))
+    )
+    u = Nb[:, 1] / np.linalg.norm(Nb[:, 1])
+    assert np.linalg.norm(Jp @ u) < 1e-10 * max(np.linalg.norm(Jp), 1.0)
+    # the annihilated column must NOT have removed anything: project J onto
+    # the complement of u and compare
+    P = np.eye(n) - np.outer(u, u)
+    np.testing.assert_allclose(Jp, J @ P, atol=1e-10)
+
+
+def test_lm_solve_window_matches_generic():
+    """r5: the structured window linearizer (nd+5 jvps + block Schur) must
+    reproduce the generic dense-jacfwd lm_solve on a real window problem —
+    same iterates, costs and deltas to FP-reassociation tolerance."""
+    import jax
+
+    from vplines_slam_tpu.estimator import window as win_mod
+    from vplines_slam_tpu.utils import demo
+
+    cfg = win_mod.WindowConfig(max_points=24, max_lines=6, max_imu=8,
+                               window=4, line_min_obs=3)
+    state, data, params = demo.synthetic_window(
+        cfg, n_landmarks=60, imu_per_interval=8, perturb=0.02, n_lines=8,
+    )
+    x0 = (state, data.pt_inv_depth, data.ln_orth)
+    weights = win_mod.ResidualWeights()
+    res_fn = lambda x: win_mod.window_residuals(x, data, cfg, params, weights)
+    ret_fn = lambda x, d: win_mod.retract_all(x, d, cfg)
+
+    spec = lm_mod.SchurSpec(dense_dim=cfg.nd, n_scalar=cfg.max_points,
+                            n_block4=cfg.max_lines)
+    layout = lm_mod.WindowLayout(nd=cfg.nd, nf=cfg.nf, P=cfg.max_points,
+                                 L=cfg.max_lines)
+    out_g = jax.jit(
+        lambda: lm_mod.lm_solve(res_fn, ret_fn, x0, spec,
+                                lm_mod.LMConfig(num_iters=5))
+    )()
+    out_s = jax.jit(
+        lambda: lm_mod.lm_solve_window(res_fn, ret_fn, x0, layout,
+                                       lm_mod.LMConfig(num_iters=5))
+    )()
+    assert float(out_s.cost) < float(out_s.cost0)
+    np.testing.assert_allclose(
+        float(out_s.cost), float(out_g.cost), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_s.x[0].p), np.asarray(out_g.x[0].p), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_s.x[1]), np.asarray(out_g.x[1]), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_s.x[2]), np.asarray(out_g.x[2]), atol=1e-6
+    )

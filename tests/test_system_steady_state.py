@@ -39,7 +39,7 @@ def test_jits_are_cached_not_rebuilt():
     db = sys_.db
     sig = jnp.zeros(256, jnp.float32)
     for _ in range(3):
-        sys_._jit_retrieve(db, sig)
+        sys_._jit_retrieve(db, sig, jnp.asarray(1, jnp.int32))
         sys_._jit_pgo(db)
         sys_._jit_drift(db)
         sys_._jit_record_loop(

@@ -214,6 +214,26 @@ def gauge_nullspace(state: WindowState, cfg: WindowConfig):
     return Nb
 
 
+def _absorbed_points(data: TrackData):
+    """Point tracks whose full information is folded into the prior by
+    marginalize_old — the SAME predicate drives the marginalization mask and
+    (when cfg.retire_points) the post-slide retirement, so the two sets can
+    never drift apart (r4 advisor finding)."""
+    return (data.pt_start == 0) & (data.pt_id >= 0) & data.pt_solved
+
+
+def _absorbed_lines(data: TrackData, cfg: WindowConfig):
+    """Lines whose factors are folded into the prior.  Includes the
+    line_min_obs gate explicitly (matching _line_residuals' activation gate)
+    rather than relying on the residual stack to zero sub-threshold rows."""
+    first_obs = jnp.argmax(data.ln_mask, axis=1)
+    n_obs = jnp.sum(data.ln_mask, axis=1)
+    return (
+        (first_obs == 0) & (data.ln_id >= 0) & data.ln_solved
+        & (n_obs >= cfg.line_min_obs)
+    )
+
+
 def marginalize_old(
     state: WindowState, data: TrackData, cfg: WindowConfig, params: imu_mod.ImuParams
 ) -> marg_mod.Prior:
@@ -221,14 +241,18 @@ def marginalize_old(
     (estimator.cpp:1229-1345): previous prior + IMU(0,1) + point factors
     anchored at frame 0 + line factors of lines first seen at frame 0."""
     # restrict the factor population via masks
-    anchored = (data.pt_start == 0) & (data.pt_id >= 0) & data.pt_solved
+    anchored = _absorbed_points(data)
     pt_mask_r = data.pt_mask & anchored[:, None]
 
-    first_obs = jnp.argmax(data.ln_mask, axis=1)
-    ln_anchored = (first_obs == 0) & (data.ln_id >= 0) & data.ln_solved
-    ln_mask_r = data.ln_mask & ln_anchored[:, None]
-    # reference skips the j==0 line factor (drop_set note, estimator.cpp:1327)
-    ln_mask_r = ln_mask_r.at[:, 0].set(False)
+    if cfg.marg_lines:
+        ln_anchored = _absorbed_lines(data, cfg)
+        ln_mask_r = data.ln_mask & ln_anchored[:, None]
+        # reference skips the j==0 line factor (drop_set, estimator.cpp:1327)
+        ln_mask_r = ln_mask_r.at[:, 0].set(False)
+    else:
+        # live-only lines: their factors never enter the prior, so the live
+        # window counts each observation exactly once (see WindowConfig)
+        ln_mask_r = jnp.zeros_like(data.ln_mask)
 
     imu_valid_r = jnp.zeros_like(data.imu_valid).at[0].set(data.imu_valid[0])
 
@@ -314,12 +338,14 @@ def slide_window_old(
     # absorbed tracks retire instead).  A retired id re-enters as a fresh
     # track on its next detection, so only future observations are lost
     # from the live window — and those arrive with the new track.
-    absorbed_pt = (data.pt_start == 0) & (data.pt_id >= 0) & data.pt_solved
-    first_obs_l = jnp.argmax(data.ln_mask, axis=1)
-    n_obs_l = jnp.sum(data.ln_mask, axis=1)
+    absorbed_pt = _absorbed_points(data) if cfg.retire_points else (
+        jnp.zeros_like(data.pt_solved)
+    )
+    # retirement only makes sense for lines whose info WAS absorbed
     absorbed_ln = (
-        (first_obs_l == 0) & (data.ln_id >= 0) & data.ln_solved
-        & (n_obs_l >= cfg.line_min_obs)
+        _absorbed_lines(data, cfg)
+        if (cfg.retire_lines and cfg.marg_lines)
+        else jnp.zeros_like(data.ln_solved)
     )
     data = data._replace(
         pt_id=jnp.where(absorbed_pt, -1, data.pt_id),

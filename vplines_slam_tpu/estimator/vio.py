@@ -126,11 +126,16 @@ def _failure_detection(state_old: WindowState, state_new: WindowState):
 
 
 def track_step(state, data, pt_ids, pt_rays, ln_args, imu_batch, cfg, params,
-               use_lines):
+               use_lines, solve_fn=None):
     """One steady-state VIO frame: IMU interval ingest + propagation, feature
     ingest, keyframe test, triangulation, window BA, outlier cull, and the
     keyframe/non-keyframe slide — ONE pure jittable program (the device body
-    shared by VioEngine and the device-resident frame loop)."""
+    shared by VioEngine and the device-resident frame loop).
+
+    solve_fn(state, data) -> (state, data, lm_out) overrides the window BA —
+    the hook through which the DISTRIBUTED landmark-sharded solver
+    (parallel/dist_ba.make_dist_ba_step) replaces the single-chip solve in
+    the mapping/high-capacity product mode (VioEngine(mesh=...))."""
     nf = cfg.nf
     dts, accs, gyrs, mask, has_imu = imu_batch
     state0 = state
@@ -153,7 +158,10 @@ def track_step(state, data, pt_ids, pt_rays, ln_args, imu_batch, cfg, params,
         # triangulations never drag the joint solve
         data = settle_lines(state, data, cfg)
         data = reject_outliers(state, data, cfg, cull_points=False)
-    state, data, lm_out = solve_window(state, data, cfg, params)
+    if solve_fn is None:
+        state, data, lm_out = solve_window(state, data, cfg, params)
+    else:
+        state, data, lm_out = solve_fn(state, data)
     data = reject_outliers(state, data, cfg)
 
     failure = _failure_detection(state0, state)
@@ -214,9 +222,17 @@ class VioEngine:
         seed: int = 0,
         estimate_extrinsic: Optional[int] = None,
         estimate_td: bool = False,
+        mesh=None,
     ):
+        """mesh: optional jax.sharding.Mesh with an 'f' axis — runs the
+        window BA as the DISTRIBUTED landmark-sharded solver (psum-reduced
+        camera system over ICI, parallel/dist_ba.py) instead of the
+        single-chip solve.  The mapping/high-capacity product mode: pair
+        with a large max_points config (configs/mapping_multichip.yaml);
+        capacities must divide evenly over the mesh devices."""
         self.cfg = cfg
         self.dtype = dtype
+        self.mesh = mesh
         self.params = params or imu_mod.default_params(dtype)
         self.use_lines = use_lines
         self.state = empty_state(cfg, dtype)
@@ -328,8 +344,19 @@ class VioEngine:
         self._try_init = jax.jit(try_init)
 
         use_lines = self.use_lines
+        if self.mesh is not None:
+            from ..parallel import dist_ba
+
+            # inside the outer jit the shard_map's in_specs drive the
+            # partitioning (XLA reshards the replicated tables onto the 'f'
+            # axis); explicit shard_tracks is only for eager callers
+            solve_fn = dist_ba.make_dist_ba_step(self.mesh, cfg, params)
+        else:
+            solve_fn = None
         self._track_step = jax.jit(
-            lambda s, d, i, r, l, b: track_step(s, d, i, r, l, b, cfg, params, use_lines)
+            lambda s, d, i, r, l, b: track_step(
+                s, d, i, r, l, b, cfg, params, use_lines, solve_fn=solve_fn
+            )
         )
 
         def init_finalize(state, data):

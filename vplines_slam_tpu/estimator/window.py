@@ -82,6 +82,20 @@ class WindowConfig(NamedTuple):
     prior_chi2_cap: float = 0.6
     init_min_corres: int = 20  # relativePose correspondence gate
     init_min_parallax: float = 30.0 / 460.0  # relativePose parallax gate
+    # consistent-marginalization policy (see slide.slide_window_old): retire
+    # tracks/lines whose information was fully absorbed into the prior
+    # instead of double-counting them (the reference re-anchors and
+    # double-counts, removeBackShiftDepth:800).  Independently toggleable per
+    # landmark class for ablation; r5 measurement (docs/ACCURACY.md): point
+    # retirement is what fixes the noise scaling.  For lines, BOTH reference
+    # double-counting (a frame-0-anchored line is re-folded on EVERY slide —
+    # ~9x over-counting at weight 306) and r4 retirement (starves long-lived
+    # structural lines) measured worse than the clean policy: keep lines
+    # LIVE-ONLY — their factors never enter the prior (marg_lines=False), so
+    # they constrain every window exactly once and never stale.
+    retire_points: bool = True
+    retire_lines: bool = False
+    marg_lines: bool = False  # True = reference parity (fold + re-anchor)
 
     @property
     def nf(self):
@@ -456,16 +470,24 @@ def solve_window(
     num_iters: int | None = None,
 ):
     """Sliding-window BA (optimizationwithLine:1043-1215) + yaw/position gauge
-    re-anchoring (double2vector2:810-900)."""
+    re-anchoring (double2vector2:810-900).
+
+    Uses the structured window linearizer (lm_solve_window): nd+5 jvps and
+    block normal equations, so the solve scales LINEARLY with the landmark
+    population — the mapping profile's 1024-point windows cost ~the same
+    per-iteration dense work as the 128-point realtime profile."""
     x0 = (state, data.pt_inv_depth, data.ln_orth)
-    spec = lm_mod.SchurSpec(
-        dense_dim=cfg.nd, n_scalar=cfg.max_points, n_block4=cfg.max_lines
+    layout = lm_mod.WindowLayout(
+        nd=cfg.nd, nf=cfg.nf, P=cfg.max_points, L=cfg.max_lines,
+        has_prior=weights.use_prior, has_imu=weights.use_imu,
+        has_points=weights.use_points, has_lines=weights.use_lines,
+        has_vps=weights.use_vps, has_relo=weights.use_relo,
     )
-    out = lm_mod.lm_solve(
+    out = lm_mod.lm_solve_window(
         lambda x: window_residuals(x, data, cfg, params, weights),
         lambda x, d: retract_all(x, d, cfg),
         x0,
-        spec,
+        layout,
         lm_mod.LMConfig(num_iters=num_iters or cfg.ba_iters),
     )
     state_new, invd_new, orth_new = out.x

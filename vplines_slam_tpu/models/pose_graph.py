@@ -154,15 +154,24 @@ def add_keyframe(
     )
 
 
-def retrieve_candidates(db: KeyframeDB, cfg: PoseGraphConfig, sig):
+def retrieve_candidates(db: KeyframeDB, cfg: PoseGraphConfig, sig, query_seq=None):
     """Coarse place retrieval: cosine score against all stored signatures,
     excluding the most recent skip_recent frames (detectLoop:304-386).
+
+    Keyframes from OTHER sequences (earlier sessions / a loaded prior map)
+    are exempt from the recency exclusion — the zone only guards trivial
+    same-trajectory hits, and a cross-sequence relocalization may legally
+    match a keyframe stored moments ago (r4 advisor finding: the host-side
+    cross_seq exemption was unreachable because this mask had already
+    dropped the candidate).  Pass query_seq (int32 scalar) to enable.
 
     Returns (idx [top_k], score [top_k])."""
     scores = db.sig @ sig.astype(jnp.float32)  # [K]
     k = db.count
     idx = jnp.arange(db.sig.shape[0])
     eligible = (idx < k - cfg.skip_recent) & (idx >= 0)
+    if query_seq is not None:
+        eligible = eligible | ((db.seq != query_seq) & (idx < k))
     scores = jnp.where(eligible, scores, -1.0)
     top_s, top_i = jax.lax.top_k(scores, cfg.top_k)
     return top_i, top_s

@@ -133,7 +133,8 @@ def imu_prior_information(qs, dt, acc_var, acc_bias_var=1e-4,
 
 
 def feature_information(
-    rays, depths, track_valid, ps, qs, q_ic, p_ic, pix_sigma=None, img_fov=0.75
+    rays, depths, track_valid, ps, qs, q_ic, p_ic, pix_sigma=None, img_fov=0.75,
+    obs_frame=1,
 ):
     """Δ-information of each candidate feature over the horizon
     (calcInfoFromFeatures:415-530): per visible horizon frame i the bearing
@@ -145,15 +146,20 @@ def feature_information(
     approximation of r01-r03).  pix_sigma is accepted for API compatibility
     and unused — the reference's bearing factors are unwhitened.
 
-    rays: [N, 3] current-frame bearing; depths: [N] NN depth guesses.
-    Returns Omega_f [N, 45, 45].
+    rays: [N, 3] bearings observed in the NEW image, whose pose is horizon
+    state ``obs_frame`` (index 1: the reference anchors the landmark at the
+    PROPAGATED pose for the new image time and places the observation-frame
+    block at Delta block 9*1, leaving state k with no feature information —
+    calcInfoFromFeatures:430-445; r4 advisor finding).  depths: [N] NN depth
+    guesses.  Returns Omega_f [N, 45, 45].
     """
     from ..utils.geometry import pose_compose, pose_inverse, skew, transform_point
 
     N = rays.shape[0]
-    nh = ps.shape[0]  # H+1 states incl. the observation frame (index 0)
+    nh = ps.shape[0]  # H+1 states: k (estimator frame) .. k+H
+    o = obs_frame
     X_w = jax.vmap(
-        lambda r, d: quat_rotate(qs[0], quat_rotate(q_ic, r * d) + p_ic) + ps[0]
+        lambda r, d: quat_rotate(qs[o], quat_rotate(q_ic, r * d) + p_ic) + ps[o]
     )(rays, depths)
 
     def per_feature(xw, ok):
@@ -161,7 +167,7 @@ def feature_information(
             q_cw, p_cw = pose_inverse(*pose_compose(qs[k], ps[k], q_ic, p_ic))
             Xc = transform_point(q_cw, p_cw, xw)
             z = Xc[2]
-            visible = (z > 0.2) & (jnp.abs(Xc[0] / z) < img_fov) & (
+            visible = (k >= o) & (z > 0.2) & (jnp.abs(Xc[0] / z) < img_fov) & (
                 jnp.abs(Xc[1] / z) < img_fov
             )
             u = Xc / jnp.maximum(jnp.linalg.norm(Xc), 1e-9)

@@ -68,6 +68,10 @@ class SlamSystem:
         estimate_extrinsic=None,
         estimate_td: bool = False,
         print_stats_every: int = 0,
+        introspect_every: int = 0,
+        introspect_dir: str = "results/introspect",
+        fetch_every: int = 1,
+        mesh=None,
         dtype=jnp.float32,
     ):
         self.cam = cam
@@ -85,6 +89,7 @@ class SlamSystem:
             use_lines=line_cfg is not None,
             estimate_extrinsic=estimate_extrinsic,
             estimate_td=estimate_td,
+            mesh=mesh,
         )
         # attention feature selector (USE_FEATURE_SELECTOR=1 dispatch,
         # estimator_node.cpp:336-349): tracked features always pass; new
@@ -96,19 +101,27 @@ class SlamSystem:
         self.use_loop = use_loop_closure
         self.pg_cfg = pg_cfg
         self.db = pg_mod.empty_db(pg_cfg, dtype)
-        # host mirrors of db.count / db.seq: reading them from the device
-        # every keyframe costs a round-trip each (tunnel-latency killer)
+        # host mirrors of db.count / db.seq / keyframe stamps: reading them
+        # from the device every keyframe costs a round-trip each
+        # (tunnel-latency killer); stamps feed loop-edge evaluation artifacts
         self._db_count = 0
         self._db_seqs: list = []
+        self._kf_times: list = []
         self.R_drift = np.eye(3)
         self.t_drift = np.zeros(3)
         self._pending_loops = 0
         # fast-relocalization in flight: (cur_kf_index, old_kf_index) whose
         # refined relative pose the next VIO step will deliver
         self._pending_relo = None
-        # r03 pipelining: in-flight frame (device refs) + staged loop-closure
-        # jobs + a dispatched-but-unfetched drift correction
-        self._pending = None
+        # r03 pipelining: in-flight frames (device refs) + staged loop-closure
+        # jobs + a dispatched-but-unfetched drift correction.  fetch_every=K
+        # (r05) deepens the pipeline: K dispatched frames ride the device
+        # queue and their packed outputs are fetched in ONE [K, 28] readback
+        # — the tunnel round-trip amortizes K× (BENCH r04: one readback per
+        # frame was 158 of the 168 ms host frame).  K>1 changes add_image's
+        # return type to a LIST of SystemOutputs (possibly empty).
+        self._fetch_every = max(1, int(fetch_every))
+        self._pending: list = []
         self._lc_jobs: list = []
         self._drift_dev = None
         self._loop_closed_flag = False
@@ -133,6 +146,16 @@ class SlamSystem:
         from ..utils.stats import Statistics
 
         self.stats = Statistics(print_every=print_stats_every)
+        # introspection stream (visualization.cpp 18-publisher equivalent):
+        # every N finished frames, snapshot the window (points/lines/frusta/
+        # selection status) in ONE jitted program and record NPZ+JSONL
+        self._introspect_every = introspect_every
+        self._introspect_sink = None
+        self._frame_counter = 0
+        if introspect_every:
+            from ..utils.introspect import IntrospectionSink
+
+            self._introspect_sink = IntrospectionSink(introspect_dir)
         # every jitted program is built ONCE here; per-frame calls hit the
         # trace cache (zero retraces after warmup — trace_counts proves it)
         self._trace_counts: dict = {}
@@ -161,7 +184,10 @@ class SlamSystem:
         )
         self._jit_record_loop = jit("record_loop", pg_mod.record_loop)
         self._jit_retrieve = jit(
-            "retrieve", lambda db, sig: pg_mod.retrieve_candidates(db, pg_cfg, sig)
+            "retrieve",
+            lambda db, sig, seq: pg_mod.retrieve_candidates(
+                db, pg_cfg, sig, query_seq=seq
+            ),
         )
         self._jit_add_kf = jit(
             "add_kf",
@@ -184,6 +210,13 @@ class SlamSystem:
             ),
         )
         self._jit_window_points = jit("window_points", self._window_points_impl)
+        if self._introspect_every:
+            from ..utils.introspect import window_snapshot
+
+            wcfg = self.vio.cfg
+            self._jit_snapshot = jit(
+                "snapshot", lambda s, d: window_snapshot(s, d, wcfg)
+            )
         if self.use_selector:
             self._jit_select = jit("select", self._select_impl)
         if self.fusion_cfg is not None:
@@ -225,7 +258,7 @@ class SlamSystem:
         self.R_base = np.eye(3)
         self.t_base = np.zeros(3)
         self._pending_relo = None
-        self._pending = None
+        self._pending = []
         self._lc_jobs.clear()
         self._drift_dev = None
 
@@ -237,19 +270,23 @@ class SlamSystem:
         self.db = db._replace(seq=jnp.zeros_like(db.seq))
         self._db_count = int(db.count)
         self._db_seqs = [0] * self._db_count
+        self._kf_times = [float("nan")] * self._db_count
 
-    def add_image(self, t, img) -> Optional[SystemOutput]:
+    def add_image(self, t, img):
         """Process one grayscale frame [H, W] in [0,1].
 
         PIPELINED (r03): the frame's front-end + VIO step are dispatched
-        asynchronously and the PREVIOUS frame's (already-computed) output is
-        fetched and finished while the chip works — one small readback per
-        frame instead of a blocking compute+transfer chain.  The returned
-        SystemOutput therefore belongs to the previous frame; call
-        ``flush()`` at stream end for the final frame.  Loop-closure work is
-        staged one step per frame (extract/retrieve -> verify -> commit ->
-        drift), mirroring the reference's asynchronous pose-graph process
-        (pose_graph_node.cpp process/optimize4DoF threads)."""
+        asynchronously and PREVIOUS frames' (already-computed) outputs are
+        fetched and finished while the chip works.  With fetch_every=1 the
+        return value is the previous frame's SystemOutput (or None) — the
+        r03 contract.  With fetch_every=K>1, K dispatched frames ride the
+        device queue and add_image returns a LIST of SystemOutputs (usually
+        empty, K entries on fetch rounds): one [K, 28] readback per K frames
+        amortizes the tunnel round-trip that dominated the r04 host loop.
+        Call ``flush()`` at stream end for the tail.  Loop-closure work is
+        staged one step per fetch round (extract/retrieve -> verify ->
+        commit -> drift), mirroring the reference's asynchronous pose-graph
+        process (pose_graph_node.cpp process/optimize4DoF threads)."""
         if (
             self._last_img_t is not None
             and t - self._last_img_t > self._gap_restart
@@ -258,39 +295,18 @@ class SlamSystem:
         self._last_img_t = t
         img = jnp.asarray(img, self.dtype)
         tm = self.stats.timers
+        listy = self._fetch_every > 1
 
-        # ---- fetch phase: frame k-1's (long-ready) output + the one loop-
-        # stage value due this frame, in ONE device_get round, BEFORE any of
-        # this frame's work is enqueued.  Fetch-after-dispatch (r02) queued
-        # the readback behind frame k's compute on the device stream and
-        # paid the whole pipeline depth per frame (122 ms median measured;
-        # docs/PERF.md).
-        result = None
-        pending, self._pending = self._pending, None
-        due_dev = self._lc_due_dev()
-        due_h = None
-        fetched_due = False
-        if pending is not None:
-            with tm.time("fetch_finish"):
-                out_vec, due_h = jax.device_get((pending["out"], due_dev))
-                fetched_due = True
-                out_h = unpack_output(out_vec)
-                if out_h.failure:
-                    # the failed frame and the in-flight one both reboot
-                    # (failureDetection -> clearState parity, one frame late)
-                    self.vio.reset()
-                    self._lc_jobs.clear()
-                    due_h = None
-                else:
-                    result = self._finish_frame(
-                        pending["t"], pending["img"], out_h,
-                        state=pending["state"], data=pending["data"],
-                    )
-        with tm.time("loop_stage"):
-            if fetched_due or due_dev is None:
-                self._advance_loop_stage(due_h, due_dev)
-            else:
-                self._advance_loop_stage()
+        # ---- fetch phase: the queued frames' outputs + the one loop-stage
+        # value due this round, in ONE device_get round, BEFORE any of this
+        # frame's work is enqueued.  Fetch-after-dispatch (r02) queued the
+        # readback behind frame k's compute on the device stream and paid
+        # the whole pipeline depth per frame (122 ms median; docs/PERF.md).
+        results = (
+            self._drain_pending()
+            if len(self._pending) >= self._fetch_every
+            else []
+        )
 
         # ---- dispatch phase: enqueue frame k's front-end + VIO step; the
         # chip works while the host returns to the caller
@@ -321,40 +337,68 @@ class SlamSystem:
 
         if not self.vio.initialized:
             out = self.vio.add_frame(t, ids, rays, **ln_kwargs)
-            if out is None or not self.vio.initialized:
-                return result
-            # init just completed: out is host data; finish it immediately
-            return self._finish_frame(t, img, out)
+            if out is not None and self.vio.initialized:
+                # init just completed: out is host data; finish it now
+                results.append(self._finish_frame(t, img, out))
+            if listy:
+                return results
+            return results[0] if results else None
 
         with tm.time("vio_dispatch"):
             out_dev = self.vio.add_frame_async(t, ids, rays, packed=True,
                                                **ln_kwargs)
-        self._pending = dict(
+        self._pending.append(dict(
             t=t, img=img, out=out_dev,
             state=self.vio.state, data=self.vio.data,
-        )
-        return result
+        ))
+        if listy:
+            return results
+        return results[0] if results else None
 
-    def flush(self) -> Optional[SystemOutput]:
-        """Finish the in-flight frame and drain all staged loop-closure work
-        (stream end)."""
-        result = None
-        if self._pending is not None:
-            pending, self._pending = self._pending, None
-            out_h = unpack_output(jax.device_get(pending["out"]))
+    def _drain_pending(self):
+        """Fetch every queued frame output in ONE readback ([K, 28] stack +
+        the due loop-stage value), run host bookkeeping for each in order,
+        then advance the staged loop-closure pipeline by one step."""
+        tm = self.stats.timers
+        pending, self._pending = self._pending, []
+        due_dev = self._lc_due_dev()
+        due_h = None
+        results = []
+        with tm.time("fetch_finish"):
+            stacked = jnp.stack([p["out"] for p in pending])
+            out_mat, due_h = jax.device_get((stacked, due_dev))
+        for i, p in enumerate(pending):
+            out_h = unpack_output(out_mat[i])
             if out_h.failure:
+                # the failed frame and every later in-flight one reboot
+                # (failureDetection -> clearState parity, up to K frames
+                # late); outputs after the failure were computed from the
+                # corrupt state and are dropped
                 self.vio.reset()
                 self._lc_jobs.clear()
-            else:
-                result = self._finish_frame(
-                    pending["t"], pending["img"], out_h,
-                    state=pending["state"], data=pending["data"],
+                due_h = None
+                break
+            results.append(
+                self._finish_frame(
+                    p["t"], p["img"], out_h, state=p["state"], data=p["data"]
                 )
+            )
+        with tm.time("loop_stage"):
+            self._advance_loop_stage(due_h, due_dev)
+        return results
+
+    def flush(self):
+        """Finish all in-flight frames and drain staged loop-closure work
+        (stream end).  Returns the finished SystemOutputs (fetch_every>1) or
+        the last one / None (fetch_every==1, r03 contract)."""
+        results = self._drain_pending() if self._pending else []
         guard = 0
         while (self._lc_jobs or self._drift_dev is not None) and guard < 64:
             self._advance_loop_stage()
             guard += 1
-        return result
+        if self._fetch_every > 1:
+            return results
+        return results[-1] if results else None
 
     def _finish_frame(self, t, img, out, state=None, data=None):
         """Host bookkeeping for a frame whose StepOutput is on the host."""
@@ -395,6 +439,18 @@ class SlamSystem:
             )
         loop_closed = loop_closed or self._loop_closed_flag
         self._loop_closed_flag = False
+        self._frame_counter += 1
+        if (
+            self._introspect_sink is not None
+            and self._frame_counter % self._introspect_every == 0
+        ):
+            self._introspect_sink.write(
+                t,
+                self._jit_snapshot(
+                    state if state is not None else self.vio.state,
+                    data if data is not None else self.vio.data,
+                ),
+            )
         cost = float(np.asarray(out.ba_cost)) if hasattr(out, "ba_cost") else float("nan")
         self.stats.update(
             p_corr, bool(out.is_keyframe), loop_closed, ba_cost=cost
@@ -506,12 +562,15 @@ class SlamSystem:
         )
         job.update(
             stage="cand", k=self._db_count,
-            cand_dev=self._jit_retrieve(self.db, sig),
+            cand_dev=self._jit_retrieve(
+                self.db, sig, jnp.asarray(self.seq, jnp.int32)
+            ),
             fb=fb, w3d=w3d, w_valid=w_valid, w_ids=w_ids,
             Rb=Rb, tb=tb, q_b=q_b, p_kf=p_kf, q_kf=q_kf,
         )
         self._db_count += 1
         self._db_seqs.append(self.seq)
+        self._kf_times.append(float(job["t"]))
 
     def _lc_stage_cand(self, job, due_h=None):
         """Gate retrieval candidates and queue them for verification

@@ -253,9 +253,9 @@ def marginalize_window(J, r, nd, dense_start, dense_size,
     return J_prior.astype(out_dtype), r_prior.astype(out_dtype)
 
 
-def project_out_nullspace(J, Nbasis):
-    """Remove information along known-unobservable directions: J ← J(I−QQᵀ)
-    with Q an orthonormal basis of span(Nbasis).
+def project_out_nullspace(J, Nbasis, keep=None):
+    """Remove information along known-unobservable directions: J ← J(I−UUᵀ)
+    with U an orthonormal basis of span(Nbasis) RESTRICTED to the kept dims.
 
     The window's factors cannot observe global translation and yaw (the
     4-dim gauge), so the EXACT prior has zero information there — but f32
@@ -263,9 +263,29 @@ def project_out_nullspace(J, Nbasis):
     window to stale linearization points (the classic VIO spurious-
     information inconsistency, amplified at f32).  Projecting the analytic
     nullspace out of the √-prior makes the guarantee dtype-independent.
+
+    The prior's just-eliminated dims have zero columns; orthonormalizing the
+    FULL-space basis would leave Q components on those dims, making the
+    kept-subspace cleanup inexact and writing nonzero entries into the
+    eliminated columns (r4 advisor finding).  The basis rows are therefore
+    masked to the dims the prior actually touches (``keep``; derived from
+    J's column norms when not given), and orthonormalized by SVD so that
+    basis columns annihilated by the mask drop out instead of polluting U
+    with junk directions (QR would return garbage orthonormal vectors for
+    near-zero columns).
     """
-    Q, _ = jnp.linalg.qr(Nbasis.astype(J.dtype))
-    return J - (J @ Q) @ Q.T
+    dtype = J.dtype
+    if keep is None:
+        # RELATIVE threshold: eliminated columns may carry O(ulp) dust from
+        # upstream factorizations; an exact-zero test would flip them into
+        # the kept set and silently un-restrict the basis
+        d = jnp.sum(J * J, axis=0)
+        keep = d > 1e-12 * jnp.max(d)
+    Nb = Nbasis.astype(dtype) * keep[:, None].astype(dtype)
+    U, s, _ = jnp.linalg.svd(Nb, full_matrices=False)
+    ok = s > 1e-6 * jnp.maximum(jnp.max(s), 1e-30)
+    U = U * ok[None, :].astype(dtype)
+    return J - (J @ U) @ U.T
 
 
 def prior_residual(prior: Prior, dx):

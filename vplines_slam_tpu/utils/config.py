@@ -41,6 +41,26 @@ class SystemProfile(NamedTuple):
     use_feature_selector: bool = False
     selector: object = None  # SelectorConfig | None
     use_global_fusion: bool = False
+    # landmark-sharded distributed BA (parallel/dist_ba): number of mesh
+    # devices on the 'f' axis; 0 = single-chip solve.  See
+    # configs/mapping_multichip.yaml and VioEngine(mesh=...).
+    landmark_mesh_devices: int = 0
+
+    def make_mesh(self):
+        """Build the landmark mesh this profile asks for (None if off)."""
+        if not self.landmark_mesh_devices:
+            return None
+        import jax
+        import numpy as np
+        from jax.sharding import Mesh
+
+        n = self.landmark_mesh_devices
+        if len(jax.devices()) < n:
+            raise RuntimeError(
+                f"profile {self.name} wants a {n}-device landmark mesh, "
+                f"{len(jax.devices())} devices available"
+            )
+        return Mesh(np.asarray(jax.devices()[:n]), ("f",))
 
 
 def load_profile(path, dtype=jnp.float64) -> SystemProfile:
@@ -110,7 +130,13 @@ def load_profile(path, dtype=jnp.float64) -> SystemProfile:
     lf = y.get("line_frontend")
     if lf is not None:
         from ..ops.lines import LineDetectConfig
+        from ..ops.vp import VPConfig, reference_vp_config
 
+        vp_cfg = (
+            reference_vp_config()
+            if lf.get("vp_resolution", "fast") == "reference"
+            else VPConfig()
+        )
         lines = LineTrackerConfig(
             max_lines=lf.get("max_lines", 64),
             max_h=lf.get("max_h_lines", 40),
@@ -120,6 +146,7 @@ def load_profile(path, dtype=jnp.float64) -> SystemProfile:
                 fit_err=float(lf.get("line_fit_err", 1.5)),
             ),
             use_vp=bool(lf.get("use_vp", True)),
+            vp=vp_cfg,
         )
 
     pg = y.get("pose_graph", {})
@@ -152,4 +179,7 @@ def load_profile(path, dtype=jnp.float64) -> SystemProfile:
         use_feature_selector=bool(s.get("use_feature_selector", False)),
         selector=sel_cfg,
         use_global_fusion=bool(y.get("global_fusion", {}).get("enabled", False)),
+        landmark_mesh_devices=int(
+            y.get("parallel", {}).get("landmark_mesh_devices", 0)
+        ),
     )

@@ -209,3 +209,80 @@ def synthetic_window(
         dp = jnp.asarray(rng.standard_normal((nf, 3)) * perturb, dtype).at[0].set(0.0)
         state = state._replace(p=state.p + dp)
     return state, data, params
+
+
+# ---------------------------------------------------------------------------
+# rendered blob-world (system-level benches / e2e accuracy artifacts)
+# ---------------------------------------------------------------------------
+
+
+def make_texture(rng, H, W, grid=True):
+    """Multi-octave random texture; optional dark grid lines (line-rich
+    world for the EDLine front-end)."""
+    img = np.zeros((H, W), np.float32)
+    for o in range(5):
+        l = rng.standard_normal((H // (2**o) + 1, W // (2**o) + 1))
+        img += np.kron(l, np.ones((2**o, 2**o)))[:H, :W] / (o + 1)
+    img = (img - img.min()) / (img.max() - img.min())
+    img = 0.25 + 0.5 * img
+    if grid:
+        for y in range(40, H, 96):
+            img[y : y + 3, :] *= 0.25
+        for x in range(40, W, 112):
+            img[:, x : x + 3] *= 0.25
+    return img
+
+
+class BlobWorldRenderer:
+    """Device-side renderer of a static landmark world: gaussian blobs over
+    a dim grid texture — enough structure for the KLT corner front-end AND
+    the EDLine/BRIEF paths.  One jitted program per frame; render on-device
+    (images never cross the host boundary on the TPU path)."""
+
+    def __init__(self, cam, q_ic, p_ic, n_pts=700, seed=4,
+                 box=((-4, 4), (-4, 4), (-1, 2.5)), dtype=jnp.float32):
+        import numpy as _np
+
+        self.cam = cam
+        H, W = int(cam.height), int(cam.width)
+        self.H, self.W = H, W
+        rng = _np.random.default_rng(seed)
+        self.X = jnp.asarray(
+            _np.asarray(syn.scatter_landmarks(n_pts, seed=seed, box=box)), dtype
+        )
+        self.brightness = jnp.asarray(rng.uniform(0.35, 0.9, n_pts), dtype)
+        self.bg = jnp.asarray(make_texture(rng, H, W, grid=True) * 0.12, dtype)
+        self.q_ic = jnp.asarray(q_ic, dtype)
+        self.p_ic = jnp.asarray(p_ic, dtype)
+        self.dtype = dtype
+        self._render = jax.jit(self._render_impl)
+
+    def _render_impl(self, q_wb, p_wb):
+        from ..models import camera as cam_mod
+
+        H, W, dtype = self.H, self.W, self.dtype
+        q_cw, p_cw = geo.pose_inverse(
+            *geo.pose_compose(q_wb, p_wb, self.q_ic, self.p_ic)
+        )
+        Xc = jax.vmap(lambda x: geo.transform_point(q_cw, p_cw, x))(self.X)
+        uv, _ = cam_mod.project(self.cam, Xc)
+        vis = (
+            (Xc[:, 2] > 0.5)
+            & (uv[:, 0] > 5) & (uv[:, 0] < W - 5)
+            & (uv[:, 1] > 5) & (uv[:, 1] < H - 5)
+        )
+        yy, xx = jnp.meshgrid(
+            jnp.arange(H, dtype=dtype), jnp.arange(W, dtype=dtype), indexing="ij"
+        )
+
+        def blob(k, im):
+            d2 = (xx - uv[k, 0]) ** 2 + (yy - uv[k, 1]) ** 2
+            return im + vis[k] * self.brightness[k] * jnp.exp(-d2 / 4.5)
+
+        n = self.X.shape[0]
+        return jnp.clip(jax.lax.fori_loop(0, n, blob, self.bg), 0.0, 1.0)
+
+    def render(self, q_wb, p_wb):
+        return self._render(
+            jnp.asarray(q_wb, self.dtype), jnp.asarray(p_wb, self.dtype)
+        )

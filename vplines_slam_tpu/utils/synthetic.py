@@ -194,3 +194,36 @@ def observe_points(
 
 def _compose(q1, p1, q2, p2):
     return quat_mul(q1, q2), quat_rotate(q1, p2) + p1
+
+
+def loop_trajectory(
+    radius=3.0,
+    omega=0.6283,  # one lap per 10 s
+    height_amp=0.25,
+    wobble_deg=(6.0, 4.0),
+    dtype=jnp.float64,
+):
+    """A closed circular survey lap with tangent-following yaw, EXACTLY
+    periodic with period 2π/ω: every attitude/height frequency is an integer
+    multiple of the lap frequency, so lap k revisits lap 0's poses exactly —
+    the revisit geometry loop-closure e2e runs need (the figure-8's
+    incommensurate attitude terms leave up to ~30° yaw mismatch at
+    revisits, right at the pose-graph gate).
+    """
+
+    def pos(t):
+        t = jnp.asarray(t, dtype)
+        x = radius * jnp.cos(omega * t)
+        y = radius * jnp.sin(omega * t)
+        z = height_amp * jnp.sin(2.0 * omega * t)
+        return jnp.stack([x, y, z])
+
+    def quat(t):
+        t = jnp.asarray(t, dtype)
+        # yaw follows the tangent (body x along velocity) + periodic wobble
+        yaw = jnp.degrees(omega * t) + 90.0 + 5.0 * jnp.sin(3.0 * omega * t)
+        pitch = wobble_deg[0] * jnp.sin(2.0 * omega * t + 0.4)
+        roll = wobble_deg[1] * jnp.sin(4.0 * omega * t + 1.1)
+        return rot_to_quat(ypr_to_rot(jnp.stack([yaw, pitch, roll])))
+
+    return Trajectory(pos=pos, quat=quat)
