@@ -256,7 +256,27 @@ def main():
         "acc_quick_f64.json — the reference bench.py's f32 ATE gate checks "
         "against (2x rule)",
     )
+    ap.add_argument(
+        "--assemble-only", action="store_true",
+        help="rebuild RESULTS.md from the committed results/acc_f64.json "
+        "(+ optional acc_tpu_f32.json, slam_accuracy.json) without "
+        "recomputing any cell",
+    )
     args = ap.parse_args()
+    if args.assemble_only:
+        import json
+
+        with open(os.path.join(args.out, "acc_f64.json")) as f:
+            doc = json.load(f)
+        rows = [
+            (c["config"], c["noise_px"], c["ate_m"], c.get("ate_std", 0.0),
+             c.get("ate_seeds", []), c["frames"], 0.0)
+            for c in doc["cells"]
+        ]
+        seeds = doc.get("seeds", [0])
+        duration = 8.0
+        _write_results_md(args, rows, seeds, duration)
+        return
     if args.quick_gate:
         import json
 
@@ -341,6 +361,14 @@ def main():
 
     # optional production-dtype column, produced on the chip by
     #   VPL_TPU=1 python examples/make_results.py --dtype float32 --tag tpu_f32
+    _write_results_md(args, rows, seeds, duration)
+
+
+def _write_results_md(args, rows, seeds, duration):
+    """Assemble RESULTS.md from computed (or JSON-loaded) cells +
+    the optional TPU-f32 column and full-system accuracy section."""
+    import json
+
     tpu_cells = {}
     tpu_meta = None
     tpu_path = os.path.join(args.out, "acc_tpu_f32.json")
@@ -451,3 +479,4 @@ def main():
 
 if __name__ == "__main__":
     main()
+

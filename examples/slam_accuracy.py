@@ -55,7 +55,7 @@ P_IC = jnp.asarray([0.02, 0.0, 0.01], DTYPE)
 
 FRAME_HZ = 10
 IMU_HZ = 200
-LAP_S = 10.0
+LAP_S = 30.0  # syn.loop_trajectory's period (EuRoC-like speed)
 
 
 def build_system(use_loop, seed=0, fetch_every=4, max_kf=256):
@@ -67,7 +67,7 @@ def build_system(use_loop, seed=0, fetch_every=4, max_kf=256):
                                   quality=0.003),
         pg_cfg=pg_mod.PoseGraphConfig(
             max_keyframes=max_kf, n_features=128, n_window_pts=48,
-            skip_recent=40,
+            skip_recent=40, skip_dis=0.2,
         ),
         q_ic=Q_IC, p_ic=P_IC, dtype=DTYPE,
         use_loop_closure=use_loop,

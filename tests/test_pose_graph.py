@@ -140,16 +140,19 @@ def test_retrieval_excludes_recent():
     cfg = pg.PoseGraphConfig(max_keyframes=128, skip_recent=10, top_k=2)
     db = pg.empty_db(cfg)
     rng = np.random.default_rng(0)
-    sigs = rng.standard_normal((60, 256)).astype(np.float32)
+    sigs = rng.standard_normal((60, db.sig.shape[1])).astype(np.float32)
     sigs /= np.linalg.norm(sigs, axis=1, keepdims=True)
     db = db._replace(
         count=jnp.asarray(60, jnp.int32), sig=db.sig.at[:60].set(jnp.asarray(sigs))
     )
     # query equal to sig[55] (recent) and sig[5] (old)
-    idx, score = pg.retrieve_candidates(db, cfg, jnp.asarray(sigs[55]))
+    idx, score, floor = pg.retrieve_candidates(db, cfg, jnp.asarray(sigs[55]))
     assert 55 not in np.asarray(idx)  # excluded (recent)
-    idx, score = pg.retrieve_candidates(db, cfg, jnp.asarray(sigs[5]))
+    idx, score, floor = pg.retrieve_candidates(db, cfg, jnp.asarray(sigs[5]))
     assert int(idx[0]) == 5 and float(score[0]) > 0.99
+    # the neighbor floor is the min similarity to the last recent_ref
+    # stored keyframes — near-orthogonal random signatures give a low floor
+    assert float(floor) < 0.5
 
 
 def _true_circle(n_kf, R=5.0):
@@ -286,7 +289,7 @@ def test_multicandidate_loop_verifies_oldest_first():
         return pg.LoopResult(
             ok=jnp.asarray(ok),
             rel_t=jnp.zeros(3), rel_yaw=jnp.asarray(0.0),
-            n_inliers=jnp.asarray(25 if ok else 0),
+            n_inliers=jnp.asarray(25 if ok else 0), n_matches=jnp.asarray(30),
             obs_old=jnp.zeros((cfg.n_window_pts, 2)),
             match_mask=jnp.zeros(cfg.n_window_pts, bool),
             p_old=jnp.zeros(3), q_old=jnp.asarray([1.0, 0.0, 0.0, 0.0]),
@@ -299,10 +302,12 @@ def test_multicandidate_loop_verifies_oldest_first():
     ) or db
     sys_._run_pgo = lambda: None
 
-    # retrieval: best score at idx 30, older eligible ones at 12 and 20,
-    # idx 5 below the secondary gate -> ineligible
+    # retrieval: a revisit plateau (idx 30/20/12 within rel_margin of the
+    # best) above the neighbor floor; idx 5 far below the plateau ->
+    # ineligible (r5 relative gating)
     cand_i = np.asarray([30, 20, 12, 5])
-    cand_s = np.asarray([0.50, 0.30, 0.10, 0.01])
+    cand_s = np.asarray([0.950, 0.940, 0.945, 0.60])
+    floor = np.asarray(0.5)
     job = dict(stage="cand", k=39, cand_dev=None,
                fb=dict(wdesc=None), w3d=None, w_valid=None,
                w_ids=np.arange(cfg.n_window_pts),
@@ -310,7 +315,7 @@ def test_multicandidate_loop_verifies_oldest_first():
                q_b=jnp.asarray([1.0, 0.0, 0.0, 0.0]),
                p_kf=jnp.zeros(3), q_kf=jnp.asarray([1.0, 0.0, 0.0, 0.0]))
     sys_._lc_jobs.append(job)
-    sys_._lc_stage_cand(job, due_h=(cand_i, cand_s))
+    sys_._lc_stage_cand(job, due_h=(cand_i, cand_s, floor))
     # oldest eligible (12) dispatched first
     assert verified == [12]
     assert job["stage"] == "commit"
@@ -328,7 +333,7 @@ def test_multicandidate_loop_verifies_oldest_first():
         ok = c == 30
         return pg.LoopResult(
             ok=jnp.asarray(ok), rel_t=jnp.zeros(3), rel_yaw=jnp.asarray(0.0),
-            n_inliers=jnp.asarray(25 if ok else 0),
+            n_inliers=jnp.asarray(25 if ok else 0), n_matches=jnp.asarray(30),
             obs_old=jnp.zeros((cfg.n_window_pts, 2)),
             match_mask=jnp.zeros(cfg.n_window_pts, bool),
             p_old=jnp.zeros(3), q_old=jnp.asarray([1.0, 0.0, 0.0, 0.0]),
@@ -336,7 +341,7 @@ def test_multicandidate_loop_verifies_oldest_first():
 
     sys_._jit_verify = fake_verify2
     job2 = dict(job, stage="cand", done=False)
-    sys_._lc_stage_cand(job2, due_h=(cand_i, cand_s))
+    sys_._lc_stage_cand(job2, due_h=(cand_i, cand_s, floor))
     sys_._lc_stage_commit(job2)  # 12 fails -> dispatch 20
     assert not job2.get("done")
     sys_._lc_stage_commit(job2)  # 20 fails -> dispatch 30

@@ -37,7 +37,8 @@ def test_jits_are_cached_not_rebuilt():
     """Calling the hoisted jits twice with same-shaped inputs must trace once."""
     sys_ = _mk_system()
     db = sys_.db
-    sig = jnp.zeros(256, jnp.float32)
+    from vplines_slam_tpu.ops.brief import SIG_DIM
+    sig = jnp.zeros(SIG_DIM, jnp.float32)
     for _ in range(3):
         sys_._jit_retrieve(db, sig, jnp.asarray(1, jnp.int32))
         sys_._jit_pgo(db)
@@ -81,7 +82,7 @@ def test_db_grows_past_capacity_without_corruption():
         q = jnp.asarray([1.0, 0.0, 0.0, 0.0])
         db = pg_mod.add_keyframe(
             db, cfg, p, q,
-            sig=jnp.zeros(256, jnp.float32),
+            sig=jnp.zeros(pg_mod.brief_mod.SIG_DIM, jnp.float32),
             desc=jnp.zeros((F, 8), jnp.uint32),
             kp_norm=jnp.zeros((F, 2)),
             kp_valid=jnp.zeros(F, bool),

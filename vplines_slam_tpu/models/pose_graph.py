@@ -49,12 +49,24 @@ class PoseGraphConfig(NamedTuple):
     n_features: int = 256  # FAST+BRIEF per keyframe (reference: 500)
     n_window_pts: int = 64  # tracked window points carried for PnP
     skip_recent: int = 50  # detectLoop exclusion zone
-    min_score: float = 0.08  # best-candidate gate (DBoW 0.05 analog)
+    min_score: float = 0.08  # absolute best-candidate floor (DBoW 0.05 analog)
     # secondary gate for the non-best candidates (DBoW 0.015 analog,
     # pose_graph.cpp:374-383): all candidates above it are verification-
     # eligible, tried OLDEST-first — looping to the oldest map region
     # maximizes drift correction
     min_score_2: float = 0.024
+    # r5 relative gating (BoW signatures are scene-calibrated, not
+    # absolutely calibrated): a candidate is eligible only if it scores at
+    # least as high as the query's own RECENT temporal neighbors (the
+    # minScore idea of detectLoop/ORB-style retrieval: floor = min cosine
+    # against the last recent_ref keyframes) AND within rel_margin of the
+    # best non-recent candidate (the revisit plateau)
+    recent_ref: int = 10
+    rel_margin: float = 0.02
+    # host-side staging backlog cap: jobs beyond this are dropped oldest-
+    # first (the reference's pose-graph process thread also discards
+    # backlog by only consuming the newest measurements)
+    max_backlog: int = 8
     top_k: int = 4
     min_matches: int = 20  # MIN_LOOP_NUM
     pnp_thresh: float = 8.0 / 460.0
@@ -77,7 +89,7 @@ class KeyframeDB(NamedTuple):
     q_vio: jnp.ndarray  # [K, 4]
     p_pgo: jnp.ndarray  # [K, 3] optimized
     yaw_pgo: jnp.ndarray  # [K] optimized yaw (deg)
-    sig: jnp.ndarray  # [K, 256] global signatures
+    sig: jnp.ndarray  # [K, SIG_DIM] spatially-pooled signatures
     desc: jnp.ndarray  # [K, F, 8] uint32 FAST+BRIEF
     kp_norm: jnp.ndarray  # [K, F, 2] normalized coords of FAST corners
     kp_valid: jnp.ndarray  # [K, F]
@@ -100,7 +112,7 @@ def empty_db(cfg: PoseGraphConfig, dtype=jnp.float64) -> KeyframeDB:
         q_vio=jnp.zeros((K, 4), dtype).at[:, 0].set(1.0),
         p_pgo=jnp.zeros((K, 3), dtype),
         yaw_pgo=jnp.zeros((K,), dtype),
-        sig=jnp.zeros((K, 256), jnp.float32),
+        sig=jnp.zeros((K, brief_mod.SIG_DIM), jnp.float32),
         desc=jnp.zeros((K, F, 8), jnp.uint32),
         kp_norm=jnp.zeros((K, F, 2), dtype),
         kp_valid=jnp.zeros((K, F), bool),
@@ -122,11 +134,25 @@ def extract_keyframe_features(img, cam_lift, cfg: PoseGraphConfig, window_xy=Non
     xy, valid = brief_mod.detect_fast(img, cfg.n_features)
     desc = brief_mod.describe_brief(img, xy, valid)
     norm = cam_lift(xy)[..., 0:2]
-    sig = brief_mod.global_signature(desc, valid)
+    sig = brief_mod.global_signature(desc, valid, xy=xy, img_hw=img.shape)
     out = {"desc": desc, "kp_norm": norm, "kp_valid": valid, "sig": sig}
     if window_xy is not None:
         wxy, wvalid = window_xy
-        out["wdesc"] = brief_mod.describe_brief(img, wxy, wvalid)
+        # snap each window point to the co-detected FAST corner within 3 px
+        # (keep the tracked position otherwise): KLT-tracked positions
+        # accumulate a few px of drift, and a BRIEF described off-center
+        # does not Hamming-match the old keyframe's corner-centered BRIEF —
+        # measured to zero out loop verification.  Describing both sides at
+        # the SAME detector's localization restores the match (the 3D stays
+        # the window point's).
+        d2 = jnp.sum(
+            (wxy[:, None, :] - xy[None, :, :]) ** 2, axis=-1
+        )
+        d2 = jnp.where(valid[None, :], d2, jnp.inf)
+        nn = jnp.argmin(d2, axis=1)
+        near = jnp.min(d2, axis=1) < 9.0
+        snapped = jnp.where(near[:, None], xy[nn], wxy)
+        out["wdesc"] = brief_mod.describe_brief(img, snapped, wvalid)
     return out
 
 
@@ -165,16 +191,40 @@ def retrieve_candidates(db: KeyframeDB, cfg: PoseGraphConfig, sig, query_seq=Non
     cross_seq exemption was unreachable because this mask had already
     dropped the candidate).  Pass query_seq (int32 scalar) to enable.
 
-    Returns (idx [top_k], score [top_k])."""
-    scores = db.sig @ sig.astype(jnp.float32)  # [K]
+    Returns (idx [top_k], score [top_k], floor) where floor is the query's
+    MINIMUM similarity to its own recent_ref temporal neighbors — the
+    scene-calibrated baseline a genuine revisit must exceed (detectLoop's
+    minScore idea; absolute thresholds don't transfer across scenes).
+
+    Scores are cosines of MEAN-CENTERED signatures (DBoW's idf in
+    projection form): self-similar scenes give every raw signature a large
+    common-mode component (measured ≥0.98 raw cosine between ALL keyframe
+    pairs of the blob-world e2e); subtracting the database's mean
+    signature scores only the distinctive remainder."""
     k = db.count
     idx = jnp.arange(db.sig.shape[0])
+    active = (idx < k)[:, None].astype(jnp.float32)
+    mu = jnp.sum(db.sig * active, axis=0) / jnp.maximum(
+        jnp.sum(active), 1.0
+    )
+    S = db.sig - mu[None, :]
+    q = sig.astype(jnp.float32) - mu
+    qn = q / jnp.maximum(jnp.linalg.norm(q), 1e-9)
+    Sn = S / jnp.maximum(
+        jnp.linalg.norm(S, axis=1, keepdims=True), 1e-9
+    )
+    scores = Sn @ qn  # [K]
     eligible = (idx < k - cfg.skip_recent) & (idx >= 0)
     if query_seq is not None:
         eligible = eligible | ((db.seq != query_seq) & (idx < k))
+    # neighbor floor over the last recent_ref stored keyframes (exclude the
+    # query itself, which is already stored at k-1 when this runs)
+    recent = (idx >= k - 1 - cfg.recent_ref) & (idx < k - 1)
+    floor = jnp.min(jnp.where(recent, scores, jnp.inf))
+    floor = jnp.where(jnp.isfinite(floor), floor, 0.0)
     scores = jnp.where(eligible, scores, -1.0)
     top_s, top_i = jax.lax.top_k(scores, cfg.top_k)
-    return top_i, top_s
+    return top_i, top_s, floor
 
 
 class LoopResult(NamedTuple):
@@ -182,6 +232,7 @@ class LoopResult(NamedTuple):
     rel_t: jnp.ndarray  # [3] cur position in the old keyframe's frame
     rel_yaw: jnp.ndarray  # [] deg
     n_inliers: jnp.ndarray  # [] int32
+    n_matches: jnp.ndarray  # [] int32 descriptor matches fed to PnP
     obs_old: jnp.ndarray  # [Wp, 2] matched normalized coords in old keyframe
     match_mask: jnp.ndarray  # [Wp] bool: descriptor match AND PnP inlier
     p_old: jnp.ndarray  # [3] PnP old-keyframe pose in the CURRENT vio frame
@@ -209,8 +260,11 @@ def verify_loop(
     safe = jnp.where(m_ok, midx, 0)
     obs_old = old_norm[safe]  # [Wp, 2] matched 2D in old frame
 
+    # 128 hypotheses: descriptor matching on weakly-textured scenes runs at
+    # ~50% outlier rate, where 32 six-point DLT samples succeed only ~40%
+    # of the time (0.5^6 per sample); 128 lifts that to ~87%
     R0, t0, inl, n_inl = mvg.ransac_pnp(
-        w3d, obs_old, m_ok, key, n_hyp=32, threshold=cfg.pnp_thresh
+        w3d, obs_old, m_ok, key, n_hyp=128, threshold=cfg.pnp_thresh
     )
     # T_old_w: x_old_cam = R0 x_w + t0 -> old CAMERA pose in world, then to
     # the body frame via the camera-IMU extrinsic (keyframe.cpp PnPRANSAC
@@ -240,6 +294,7 @@ def verify_loop(
     )
     return LoopResult(
         ok=ok, rel_t=rel_t, rel_yaw=rel_yaw, n_inliers=n_inl,
+        n_matches=jnp.sum(m_ok.astype(jnp.int32)),
         obs_old=obs_old, match_mask=m_ok & inl,
         p_old=p_old_pnp, q_old=q_w_old,
     )

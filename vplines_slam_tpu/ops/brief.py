@@ -138,15 +138,64 @@ def match_descriptors(da, va, db, vb, max_dist=80):
     return jnp.where(ok, best, -1), dist
 
 
-def global_signature(desc, valid, dim=256):
-    """Mean-of-bits float signature for coarse place retrieval — the
-    TPU-native stand-in for the DBoW2 vocabulary score (one matmul against
-    the keyframe database instead of an inverted file)."""
+_VOCAB_CACHE = {}
+
+
+def _random_vocab(dim, n_words, dtype):
+    """Fixed random ±1 projection vocabulary [dim, n_words] — the TPU-native
+    stand-in for DBoW2's trained vocabulary tree: each descriptor is
+    assigned to the word whose projection it maximizes (a depth-1 random
+    partition of descriptor space).  Deterministic across processes."""
+    key = (dim, n_words, str(dtype))
+    if key not in _VOCAB_CACHE:
+        import numpy as np
+
+        rng = np.random.default_rng(20260821)
+        _VOCAB_CACHE[key] = jnp.asarray(
+            rng.choice([-1.0, 1.0], size=(dim, n_words)), dtype
+        )
+    return _VOCAB_CACHE[key]
+
+
+SIG_CELLS = 4  # 2x2 spatial pyramid
+SIG_DIM = SIG_CELLS * 256
+
+
+def global_signature(desc, valid, dim=256, n_words=256, xy=None, img_hw=None):
+    """Spatially-pooled constellation-sketch signature for coarse place
+    retrieval: each descriptor is SimHash-coded (sign of fixed random ±1
+    projections), codes are summed PER 2x2 IMAGE CELL, concatenated and
+    L2-normalized — one [SIG_DIM] matmul against the keyframe database
+    instead of DBoW2's inverted file.
+
+    Two images sharing m of n keypoint descriptors in the same layout score
+    cosine ≈ m/n (quasi-orthogonal codes sum like a Bloom sketch);
+    descriptor bit-noise degrades the score smoothly (a flipped BRIEF bit
+    only flips code signs whose projection was already near 0); the spatial
+    pyramid keeps LAYOUT identity, which pure descriptor pooling loses on
+    self-similar scenes (measured: the r1-r4 mean-of-bits signature scored
+    >= 0.98 between EVERY keyframe pair of the blob-world loop e2e, and an
+    unpooled code sum still ranked revisits within noise of non-revisits
+    after idf centering).
+
+    xy: optional [N, 2] pixel keypoint coordinates with img_hw=(H, W);
+    omitted (tests/back-compat) -> all keypoints pool into cell 0."""
     bits = jnp.unpackbits(
         desc.view(jnp.uint8), axis=-1, count=dim, bitorder="little"
     ).astype(jnp.float32)
-    m = valid.astype(jnp.float32)[:, None]
-    sig = jnp.sum(bits * m, axis=0) / jnp.maximum(jnp.sum(m), 1.0)
-    sig = sig - 0.5
+    centered = bits - 0.5
+    W = _random_vocab(dim, n_words, centered.dtype)
+    codes = jnp.sign(centered @ W)  # [N, n_words] SimHash per keypoint
+    codes = codes * valid.astype(jnp.float32)[:, None]
+    N = codes.shape[0]
+    if xy is None:
+        cell = jnp.zeros((N,), jnp.int32)
+    else:
+        H, Wd = img_hw
+        cy = jnp.clip((xy[:, 1] * (2.0 / H)).astype(jnp.int32), 0, 1)
+        cx = jnp.clip((xy[:, 0] * (2.0 / Wd)).astype(jnp.int32), 0, 1)
+        cell = cy * 2 + cx
+    sig = jnp.zeros((SIG_CELLS, n_words), jnp.float32).at[cell].add(codes)
+    sig = sig.reshape(-1)
     n = jnp.linalg.norm(sig)
     return sig / jnp.maximum(n, 1e-9)

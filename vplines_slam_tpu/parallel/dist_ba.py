@@ -115,9 +115,21 @@ def make_dist_ba_step(
         use_points=False, use_lines=False, use_vps=False, use_relo=False
     )
 
+    layout_loc = lm_mod.WindowLayout(
+        nd=nd, nf=cfg_loc.nf, P=cfg_loc.max_points, L=cfg_loc.max_lines,
+        has_prior=False, has_imu=False,
+        has_points=w_local.use_points, has_lines=w_local.use_lines,
+        has_vps=w_local.use_vps, has_relo=w_local.use_relo,
+    )
+
     def lm_body(state, data_loc):
         """Runs per device inside shard_map.  data_loc's landmark arrays are
-        the local shard; IMU/prior fields are the replicated full copies."""
+        the local shard; IMU/prior fields are the replicated full copies.
+
+        r5: uses the STRUCTURED window linearizer per shard (nd+5 jvps +
+        block normal equations, lm.lm_solve_window's machinery) — the shard's
+        landmark population no longer appears in the jvp count, so mapping-
+        scale shards cost the same linearization work as realtime ones."""
         dtype = state.p.dtype
 
         def local_residual(x):
@@ -136,32 +148,15 @@ def make_dist_ba_step(
             r_d = dense_residual(x[0])
             return c_loc + 0.5 * jnp.dot(r_d, r_d)
 
-        def linearize(x):
-            zero = jnp.zeros(nd + n_loc, dtype)
-            r0 = local_residual(x)
-            J = jax.jacfwd(lambda d: local_residual(retract(x, d)))(zero)
-            # dense-only factors (IMU + prior): jacobian wrt dense block only
-            zd = jnp.zeros(nd, dtype)
-            rd0 = dense_residual(x[0])
-            Jd = jax.jacfwd(
-                lambda d: dense_residual(win_mod.retract_state(x[0], d, cfg))
-            )(zd)
-            return r0, J, rd0, Jd
-
-        def solve_damped(H_loc, g_loc, rd0, Jd, lam):
-            """Exactly schur_solve's math, with the dense block psum'ed.
-
-            H_loc is the per-device [(nd+n_loc)²] normal matrix of local
-            landmark factors; the landmark columns are fully local."""
-            # replicated dense-factor block
-            Hdd = jax.lax.psum(H_loc[:nd, :nd], "f") + Jd.T @ Jd
-            g_d = jax.lax.psum(g_loc[:nd], "f") - Jd.T @ rd0
+        def solve_damped(blocks, rd0, Jd, lam):
+            """schur_solve_blocks' math with the dense block psum'ed across
+            shards (landmark blocks stay fully local)."""
+            H_dd_loc, g_d_loc, H_dp, h_p, g_p, H_dl, Hll_b, g_l = blocks
+            Hdd = jax.lax.psum(H_dd_loc, "f") + Jd.T @ Jd
+            g_d = jax.lax.psum(g_d_loc, "f") - Jd.T @ rd0
             floor = jnp.asarray(lm_cfg.diag_floor, dtype)
-            # Jacobi preconditioning on the FULL (global) diagonal, exactly
-            # like schur_solve: solve in the scaled space (diag≈1), damping
-            # λ·diag_scaled + floor, unscale the delta at the end.  The
-            # dense scale uses the psum'ed diagonal (replicated); landmark
-            # columns are fully local, so their scales are local too.
+            # Jacobi scales: dense from the GLOBAL (psum'ed) diagonal,
+            # landmark scales local (their columns never cross devices)
             diag_d_raw = jnp.diag(Hdd)
             c_d = jnp.where(
                 diag_d_raw > 1e-30, jnp.sqrt(jnp.maximum(diag_d_raw, 1e-30)), 1.0
@@ -170,12 +165,6 @@ def make_dist_ba_step(
             g_d = g_d / c_d
             s_d = diag_d_raw / (c_d * c_d)
             Hdd = Hdd + jnp.diag(lam * s_d + floor)
-            diag_l_raw = jnp.diag(H_loc)[nd:]
-            c_l = jnp.where(
-                diag_l_raw > 1e-30, jnp.sqrt(jnp.maximum(diag_l_raw, 1e-30)), 1.0
-            )
-            s_l = diag_l_raw / (c_l * c_l)
-            damp_l = lam * s_l + floor
 
             Pl = cfg_loc.max_points
             Ll = cfg_loc.max_lines
@@ -186,28 +175,29 @@ def make_dist_ba_step(
             wp = None
             Wl = None
             if Pl > 0:
-                Hdp = H_loc[:nd, nd : nd + Pl] / (
-                    c_d[:, None] * c_l[None, :Pl]
+                c_p = jnp.where(
+                    h_p > 1e-30, jnp.sqrt(jnp.maximum(h_p, 1e-30)), 1.0
                 )
-                hp = s_l[:Pl] + damp_l[:Pl]
-                g_p = g_loc[nd : nd + Pl] / c_l[:Pl]
+                Hdp = H_dp / (c_d[:, None] * c_p[None, :])
+                s_p = h_p / (c_p * c_p)
+                hp = s_p + lam * s_p + floor
+                g_p_s = g_p / c_p
                 wp = 1.0 / hp
                 corr_S = corr_S + (Hdp * wp[None, :]) @ Hdp.T
-                corr_r = corr_r + Hdp @ (wp * g_p)
+                corr_r = corr_r + Hdp @ (wp * g_p_s)
             if Ll > 0:
-                c_l4 = c_l[Pl:].reshape(Ll, 4)
-                Hdl = H_loc[:nd, nd + Pl :].reshape(nd, Ll, 4) / (
-                    c_d[:, None, None] * c_l4[None, :, :]
+                d_ll = jnp.diagonal(Hll_b, axis1=1, axis2=2)
+                c_l4 = jnp.where(
+                    d_ll > 1e-30, jnp.sqrt(jnp.maximum(d_ll, 1e-30)), 1.0
                 )
-                Hll = H_loc[nd + Pl :, nd + Pl :].reshape(Ll, 4, Ll, 4)
-                idx = jnp.arange(Ll)
-                Hll_b = Hll[idx, :, idx, :] / (
-                    c_l4[:, :, None] * c_l4[:, None, :]
-                ) + jax.vmap(jnp.diag)(damp_l[Pl:].reshape(Ll, 4))
-                g_l = g_loc[nd + Pl :].reshape(Ll, 4) / c_l4
-                Wl = jnp.linalg.inv(Hll_b)
+                Hdl = H_dl / (c_d[:, None, None] * c_l4[None, :, :])
+                Hll_s = Hll_b / (c_l4[:, :, None] * c_l4[:, None, :])
+                s_l = d_ll / (c_l4 * c_l4)
+                Hll_d = Hll_s + jax.vmap(jnp.diag)(lam * s_l + floor)
+                g_l_s = g_l / c_l4
+                Wl = jnp.linalg.inv(Hll_d)
                 corr_S = corr_S + jnp.einsum("dlk,lkm,elm->de", Hdl, Wl, Hdl)
-                corr_r = corr_r + jnp.einsum("dlk,lkm,lm->d", Hdl, Wl, g_l)
+                corr_r = corr_r + jnp.einsum("dlk,lkm,lm->d", Hdl, Wl, g_l_s)
             S = S - jax.lax.psum(corr_S, "f")
             rhs = rhs - jax.lax.psum(corr_r, "f")
 
@@ -216,11 +206,11 @@ def make_dist_ba_step(
 
             parts = [dd / c_d]
             if Pl > 0:
-                dp = wp * (g_p - Hdp.T @ dd)
-                parts.append(dp / c_l[:Pl])
+                dp = wp * (g_p_s - Hdp.T @ dd)
+                parts.append(dp / c_p)
             if Ll > 0:
                 dl = jnp.einsum(
-                    "lkm,lm->lk", Wl, g_l - jnp.einsum("dlk,d->lk", Hdl, dd)
+                    "lkm,lm->lk", Wl, g_l_s - jnp.einsum("dlk,d->lk", Hdl, dd)
                 )
                 parts.append((dl / c_l4).reshape(Ll * 4))
             return jnp.concatenate(parts)
@@ -230,10 +220,16 @@ def make_dist_ba_step(
 
         def body(_, carry):
             x, lam, cost = carry
-            r0, J, rd0, Jd = linearize(x)
-            H_loc = J.T @ J
-            g_loc = -(J.T @ r0)
-            delta = solve_damped(H_loc, g_loc, rd0, Jd, lam)
+            r0, J_d, col_p, cols_l = lm_mod._structured_linearize(
+                local_residual, retract, x, layout_loc
+            )
+            blocks = lm_mod._assemble_blocks(r0, J_d, col_p, cols_l, layout_loc)
+            zd = jnp.zeros(nd, dtype)
+            rd0 = dense_residual(x[0])
+            Jd = jax.jacfwd(
+                lambda d: dense_residual(win_mod.retract_state(x[0], d, cfg))
+            )(zd)
+            delta = solve_damped(blocks, rd0, Jd, lam)
             x_new = retract(x, delta)
             cost_new = cost_of(x_new)
             accept = cost_new < cost

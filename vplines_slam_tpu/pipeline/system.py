@@ -523,13 +523,36 @@ class SlamSystem:
             return
         if not self._lc_jobs:
             return
+        pre_stage = self._lc_jobs[0]["stage"]
+        # promote extract-stage jobs first — extraction is DISPATCH-ONLY (no
+        # readback), so the keyframe DB never lags the stream even when the
+        # readback-limited cand/verify stages back up
+        promoted = 0
+        for job in self._lc_jobs:
+            if job["stage"] == "extract" and promoted < 3:
+                self._lc_stage_extract(job)
+                promoted += 1
+        # backlog control: past max_backlog, drop the OLDEST jobs still
+        # waiting at the cand gate (their keyframes are already in the DB;
+        # the reference's pose-graph process thread also discards backlog).
+        # Job 0 is kept — its device value may be this drain's prefetch.
+        cfg = self.pg_cfg
+        if len(self._lc_jobs) > cfg.max_backlog:
+            overflow = len(self._lc_jobs) - cfg.max_backlog
+            keep = [self._lc_jobs[0]]
+            for job in self._lc_jobs[1:]:
+                if overflow > 0 and job["stage"] == "cand" and "cand_queue" not in job:
+                    overflow -= 1
+                    continue
+                keep.append(job)
+            self._lc_jobs = keep
         job = self._lc_jobs[0]
-        stage = job["stage"]
-        if stage == "extract":
-            self._lc_stage_extract(job)
-        elif stage == "cand":
+        # one readback stage per drain, only if the job was ALREADY at a
+        # readback stage when the drain began (a just-promoted job's
+        # retrieve is still computing; fetching it now would block)
+        if pre_stage == "cand" and job["stage"] == "cand":
             self._lc_stage_cand(job, due_h if due_dev is job.get("cand_dev") else None)
-        elif stage == "commit":
+        elif pre_stage == "commit" and job["stage"] == "commit":
             self._lc_stage_commit(job, due_h if due_dev is job.get("lr_dev") else None)
         if job.get("done"):
             self._lc_jobs.pop(0)
@@ -574,21 +597,28 @@ class SlamSystem:
 
     def _lc_stage_cand(self, job, due_h=None):
         """Gate retrieval candidates and queue them for verification
-        OLDEST-first (pose_graph.cpp detectLoop:374-383 min_index): the best
-        candidate must clear min_score (DBoW 0.05 analog); every candidate
-        above min_score_2 (0.015 analog) is eligible.  Unlike the reference,
-        verification falls back to the next-oldest eligible candidate when
-        PnP fails (the reference gives up for that keyframe)."""
+        OLDEST-first (pose_graph.cpp detectLoop:374-383 min_index).  Gates
+        (r5): the best non-recent candidate must clear BOTH the absolute
+        floor (min_score) and the query's own recent-neighbor similarity
+        floor (a revisit looks at least as similar as frames seconds away —
+        detectLoop's minScore idea); every candidate within rel_margin of
+        the best (the revisit plateau) is verification-eligible.  Unlike
+        the reference, verification falls back to the next-oldest eligible
+        candidate when PnP fails (the reference gives up for that
+        keyframe)."""
         cfg = self.pg_cfg
-        cand_i, cand_s = due_h if due_h is not None else jax.device_get(job["cand_dev"])
+        cand_i, cand_s, floor = (
+            due_h if due_h is not None else jax.device_get(job["cand_dev"])
+        )
         k = job["k"]
-        if float(cand_s[0]) <= cfg.min_score:
+        best = float(cand_s[0])
+        if best <= max(cfg.min_score, float(floor)):
             job["done"] = True
             return
         queue = []
         for i in range(len(cand_i)):
             cand, s = int(cand_i[i]), float(cand_s[i])
-            if s <= cfg.min_score_2:
+            if s < best - cfg.rel_margin:
                 continue
             # candidates from other sequences/maps skip the recency check
             # (the exclusion zone only guards trivial same-trajectory hits)
@@ -752,13 +782,15 @@ class SlamSystem:
             return Xw, uv_n, seen
 
         Xw, uvn, seen = jax.vmap(one)(jnp.arange(cfg.max_points))
-        # pixel coords for BRIEF extraction
+        # pixel coords for BRIEF extraction: project the MEASURED observation
+        # ray (keyframe.cpp computeWindowBRIEFPoint describes at the tracked
+        # point_2d_uv), NOT the estimated 3D — reprojecting the estimate
+        # shifts the descriptor patch by the full VIO drift (tens of px) and
+        # silently zeroed every loop verification (r5 root cause)
         from ..models.camera import project
 
-        Xc = jax.vmap(
-            lambda x: quat_rotate(quat_conj(q_wc[cfg.nf - 2]), x - p_wc[cfg.nf - 2])
-        )(Xw)
-        uv_px, vis = project(self.cam, Xc)
+        rays = jnp.concatenate([uvn, jnp.ones_like(uvn[:, :1])], axis=-1)
+        uv_px, vis = project(self.cam, rays)
         seen = seen & vis
         # take the first Wp
         idx = jnp.argsort(~seen)[:Wp]

@@ -221,18 +221,22 @@ def _structured_linearize(residual_fn, retract_fn, x, layout: WindowLayout):
     def jvp_of(t):
         return jax.jvp(f, (zero,), (t,))[1]
 
-    # dense columns: nd jvps, batched via vmap (same machinery as jacfwd
-    # restricted to the dense dims)
-    eye_d = jnp.zeros((nd, N), dtype).at[:, :nd].set(jnp.eye(nd, dtype=dtype))
-    J_d = jax.vmap(jvp_of)(eye_d).T  # [R, nd]
-    # one jvp for ALL scalar-landmark columns
-    t_p = jnp.zeros(N, dtype).at[nd : nd + P].set(1.0)
-    col_p = jvp_of(t_p)
-    # four jvps for all 4-dof line columns
-    eye_l = jnp.zeros((4, N), dtype)
+    # ONE batched jvp over all nd+5 tangents (three separate vmapped jvp
+    # calls traced the residual graph three times and tripled XLA compile
+    # time — measured minutes-long compiles of the lines program):
+    # [0:nd]   dense unit tangents,
+    # [nd]     ones over every scalar-landmark dim (rows are disjoint in
+    #          their landmark dependence, so one jvp recovers all columns),
+    # [nd+1:]  ones over orth component k of every line, k = 0..3.
+    T = jnp.zeros((nd + 5, N), dtype)
+    T = T.at[:nd, :nd].set(jnp.eye(nd, dtype=dtype))
+    T = T.at[nd, nd : nd + P].set(1.0)
     for k in range(4):
-        eye_l = eye_l.at[k, nd + P + k :: 4].set(1.0)
-    cols_l = jax.vmap(jvp_of)(eye_l).T  # [R, 4]
+        T = T.at[nd + 1 + k, nd + P + k :: 4].set(1.0)
+    outs = jax.vmap(jvp_of)(T)  # [nd+5, R]
+    J_d = outs[:nd].T  # [R, nd]
+    col_p = outs[nd]
+    cols_l = outs[nd + 1 :].T  # [R, 4]
     return r0, J_d, col_p, cols_l
 
 

@@ -266,6 +266,9 @@ class BlobWorldRenderer:
         )
         Xc = jax.vmap(lambda x: geo.transform_point(q_cw, p_cw, x))(self.X)
         uv, _ = cam_mod.project(self.cam, Xc)
+        # camera intrinsics may be f64 (x64 tests): pin the render dtype so
+        # the fori_loop carry type stays stable
+        uv = uv.astype(dtype)
         vis = (
             (Xc[:, 2] > 0.5)
             & (uv[:, 0] > 5) & (uv[:, 0] < W - 5)

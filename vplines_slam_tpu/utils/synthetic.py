@@ -198,7 +198,9 @@ def _compose(q1, p1, q2, p2):
 
 def loop_trajectory(
     radius=3.0,
-    omega=0.6283,  # one lap per 10 s
+    omega=2.0 * np.pi / 30.0,  # one lap per 30 s: ~0.63 m/s, EuRoC-like
+    # flow (~10 px rotation + ~10 px parallax per 10 Hz frame at 3 m depth
+    # — faster laps exceed the KLT pyramid range and starve the tracker)
     height_amp=0.25,
     wobble_deg=(6.0, 4.0),
     dtype=jnp.float64,
@@ -220,8 +222,12 @@ def loop_trajectory(
 
     def quat(t):
         t = jnp.asarray(t, dtype)
-        # yaw follows the tangent (body x along velocity) + periodic wobble
-        yaw = jnp.degrees(omega * t) + 90.0 + 5.0 * jnp.sin(3.0 * omega * t)
+        # camera (body x) looks INWARD at the surveyed interior: translation
+        # stays parallel to the image plane, so features persist across the
+        # whole init window instead of streaming out of a forward-looking
+        # FOE (measured: tangent-looking retention ~0.65/step -> ~1 frame-0
+        # correspondence left after 10 steps; inward-looking survives)
+        yaw = jnp.degrees(omega * t) + 180.0 + 5.0 * jnp.sin(3.0 * omega * t)
         pitch = wobble_deg[0] * jnp.sin(2.0 * omega * t + 0.4)
         roll = wobble_deg[1] * jnp.sin(4.0 * omega * t + 1.1)
         return rot_to_quat(ypr_to_rot(jnp.stack([yaw, pitch, roll])))
