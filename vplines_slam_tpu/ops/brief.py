@@ -145,16 +145,20 @@ def _random_vocab(dim, n_words, dtype):
     """Fixed random ±1 projection vocabulary [dim, n_words] — the TPU-native
     stand-in for DBoW2's trained vocabulary tree: each descriptor is
     assigned to the word whose projection it maximizes (a depth-1 random
-    partition of descriptor space).  Deterministic across processes."""
-    key = (dim, n_words, str(dtype))
+    partition of descriptor space).  Deterministic across processes.
+
+    The cache holds the NUMPY array, never the jnp conversion: converting
+    inside a jit trace yields a DynamicJaxprTracer, and caching that leaks
+    it into every later trace (measured: the second SlamSystem of a
+    process — multi-session relocalization — died with
+    UnexpectedTracerError on its first keyframe extraction)."""
+    key = (dim, n_words)
     if key not in _VOCAB_CACHE:
         import numpy as np
 
         rng = np.random.default_rng(20260821)
-        _VOCAB_CACHE[key] = jnp.asarray(
-            rng.choice([-1.0, 1.0], size=(dim, n_words)), dtype
-        )
-    return _VOCAB_CACHE[key]
+        _VOCAB_CACHE[key] = rng.choice([-1.0, 1.0], size=(dim, n_words))
+    return jnp.asarray(_VOCAB_CACHE[key], dtype)
 
 
 SIG_CELLS = 4  # 2x2 spatial pyramid
