@@ -702,7 +702,8 @@ class VioEngine:
             obs = np.concatenate([obs, np.ones_like(obs[..., :1])], axis=-1)
         table = np.asarray(self.data.pt_id)
         P = table.shape[0]
-        relo_obs = np.asarray(self.data.relo_obs)
+        # np.asarray of a device array is a read-only view — copy to mutate
+        relo_obs = np.array(self.data.relo_obs)
         relo_mask = np.zeros(P, bool)
         slot_of = {int(t): s for s, t in enumerate(table) if t >= 0}
         for m, fid in enumerate(ids):

@@ -255,7 +255,13 @@ def verify_loop(
     old_valid = db.kp_valid[cand]
     old_norm = db.kp_norm[cand]
 
-    midx, dist = brief_mod.match_descriptors(wdesc, w_valid, old_desc, old_valid)
+    # margin + mutual gating (see match_descriptors): at the ~50% wrong-match
+    # rate ambiguous scenes produce under the plain 80-bit gate, 6-point DLT
+    # RANSAC needs ~0.5^-6 = 64x more hypotheses than the inlier budget
+    # allows; precision-gated matches trade recall for a usable inlier rate
+    midx, dist = brief_mod.match_descriptors(
+        wdesc, w_valid, old_desc, old_valid, margin=16, mutual=True
+    )
     m_ok = midx >= 0
     safe = jnp.where(m_ok, midx, 0)
     obs_old = old_norm[safe]  # [Wp, 2] matched 2D in old frame
@@ -264,7 +270,7 @@ def verify_loop(
     # ~50% outlier rate, where 32 six-point DLT samples succeed only ~40%
     # of the time (0.5^6 per sample); 128 lifts that to ~87%
     R0, t0, inl, n_inl = mvg.ransac_pnp(
-        w3d, obs_old, m_ok, key, n_hyp=128, threshold=cfg.pnp_thresh
+        w3d, obs_old, m_ok, key, n_hyp=256, threshold=cfg.pnp_thresh
     )
     # T_old_w: x_old_cam = R0 x_w + t0 -> old CAMERA pose in world, then to
     # the body frame via the camera-IMU extrinsic (keyframe.cpp PnPRANSAC

@@ -125,9 +125,17 @@ def hamming_matrix(da, db):
     return jnp.sum(_popcount32(x), axis=-1).astype(jnp.int32)
 
 
-def match_descriptors(da, va, db, vb, max_dist=80):
+def match_descriptors(da, va, db, vb, max_dist=80, margin=0, mutual=False):
     """Best match per row with the reference's distance gate
     (keyframe.cpp searchByBRIEFDes:152, threshold 80 bits).
+
+    margin > 0 adds a second-best margin test (Lowe-ratio analog for
+    Hamming): the best match must beat the runner-up by ≥ margin bits —
+    ambiguous descriptors (repetitive texture, background-dominated blob
+    patches) produce near-tied candidates and get dropped.  mutual=True adds
+    the cross-check (row's best column must have this row as its best row).
+    Both OFF by default (reference parity); loop verification enables them —
+    PnP-RANSAC success depends super-linearly on match precision.
 
     Returns (idx [N] into db or -1, dist [N])."""
     d = hamming_matrix(da, db)
@@ -135,6 +143,15 @@ def match_descriptors(da, va, db, vb, max_dist=80):
     best = jnp.argmin(d, axis=1)
     dist = jnp.min(d, axis=1)
     ok = va & (dist < max_dist)
+    if margin > 0:
+        d2 = jnp.where(
+            jax.nn.one_hot(best, d.shape[1], dtype=bool), 10_000, d
+        )
+        second = jnp.min(d2, axis=1)
+        ok = ok & (second - dist >= margin)
+    if mutual:
+        col_best = jnp.argmin(jnp.where(va[:, None], d, 10_000), axis=0)
+        ok = ok & (col_best[best] == jnp.arange(d.shape[0]))
     return jnp.where(ok, best, -1), dist
 
 

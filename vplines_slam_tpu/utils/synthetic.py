@@ -203,6 +203,8 @@ def loop_trajectory(
     # — faster laps exceed the KLT pyramid range and starve the tracker)
     height_amp=0.25,
     wobble_deg=(6.0, 4.0),
+    speed_mod=0.12,
+    radius_mod=0.05,
     dtype=jnp.float64,
 ):
     """A closed circular survey lap with tangent-following yaw, EXACTLY
@@ -211,12 +213,24 @@ def loop_trajectory(
     the revisit geometry loop-closure e2e runs need (the figure-8's
     incommensurate attitude terms leave up to ~30° yaw mismatch at
     revisits, right at the pose-graph gate).
+
+    speed_mod/radius_mod (phase and radius harmonics, also lap-periodic) are
+    NOT cosmetic: at constant angular rate the centripetal acceleration is a
+    near-constant body-frame vector — exactly the accelerometer-bias
+    direction — so monocular scale is UNOBSERVABLE on a clean circle and the
+    estimator free-walks scale into the bias (measured: |p| grew 1.8→12 m
+    over 0.8 laps of the r=3 circuit once far wall features dominated).
+    Time-varying tangential/radial acceleration (3ω and 2ω harmonics, ~0.14
+    m/s² amplitude) cannot be absorbed by a per-window-constant bias, which
+    restores scale observability while keeping revisits exact.
     """
 
     def pos(t):
         t = jnp.asarray(t, dtype)
-        x = radius * jnp.cos(omega * t)
-        y = radius * jnp.sin(omega * t)
+        ph = omega * t + speed_mod * jnp.sin(3.0 * omega * t)
+        r = radius * (1.0 + radius_mod * jnp.sin(2.0 * omega * t + 0.7))
+        x = r * jnp.cos(ph)
+        y = r * jnp.sin(ph)
         z = height_amp * jnp.sin(2.0 * omega * t)
         return jnp.stack([x, y, z])
 
@@ -227,7 +241,11 @@ def loop_trajectory(
         # whole init window instead of streaming out of a forward-looking
         # FOE (measured: tangent-looking retention ~0.65/step -> ~1 frame-0
         # correspondence left after 10 steps; inward-looking survives)
-        yaw = jnp.degrees(omega * t) + 180.0 + 5.0 * jnp.sin(3.0 * omega * t)
+        # follow the MODULATED phase so the camera keeps facing the interior
+        yaw = (
+            jnp.degrees(omega * t + speed_mod * jnp.sin(3.0 * omega * t))
+            + 180.0 + 5.0 * jnp.sin(3.0 * omega * t + 1.3)
+        )
         pitch = wobble_deg[0] * jnp.sin(2.0 * omega * t + 0.4)
         roll = wobble_deg[1] * jnp.sin(4.0 * omega * t + 1.1)
         return rot_to_quat(ypr_to_rot(jnp.stack([yaw, pitch, roll])))
