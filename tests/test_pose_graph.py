@@ -350,3 +350,77 @@ def test_multicandidate_loop_verifies_oldest_first():
     assert job2.get("done")
     assert verified == [12, 20, 30]
     assert recorded == [(39, 30)]
+
+
+def test_match_descriptors_margin_and_mutual():
+    """Margin gate drops ambiguous (near-tied) matches; mutual cross-check
+    drops many-to-one collisions — the precision gates verify_loop relies on
+    for a PnP-viable inlier rate (r5: 50% wrong matches under the plain
+    80-bit gate on self-similar imagery made 6-pt RANSAC hopeless)."""
+    rng = np.random.default_rng(11)
+    # build descriptors from random bits: db has a twin for each query plus
+    # a near-twin distractor at controlled distance
+    bits = rng.integers(0, 2, size=(6, 256)).astype(np.uint8)
+
+    def pack(b):
+        return jnp.asarray(
+            np.packbits(b, axis=-1, bitorder="little").view(np.uint32)
+        )
+
+    def flip(b, n, seed):
+        r = np.random.default_rng(seed)
+        out = b.copy()
+        for i in range(b.shape[0]):
+            idx = r.choice(256, n, replace=False)
+            out[i, idx] ^= 1
+        return out
+
+    da = pack(bits)
+    va = jnp.ones(6, bool)
+    # db rows 0..5 = twins at distance 8; rows 6..11 = distractors at 14
+    db = jnp.concatenate([pack(flip(bits, 8, 1)), pack(flip(bits, 14, 2))])
+    vb = jnp.ones(12, bool)
+
+    # plain: all 6 match their twin
+    idx, dist = brief_mod.match_descriptors(da, va, db, vb)
+    assert int(jnp.sum(idx == jnp.arange(6))) == 6
+    # margin 16: twin (8) vs distractor (~14+) margin is < 16 -> dropped
+    idx_m, _ = brief_mod.match_descriptors(da, va, db, vb, margin=16)
+    assert int(jnp.sum(idx_m >= 0)) < 6
+    # with distant distractors the margin gate keeps the twins
+    db_far = jnp.concatenate([pack(flip(bits, 8, 1)), pack(flip(bits, 90, 3))])
+    idx_f, _ = brief_mod.match_descriptors(da, va, db_far, vb, margin=16)
+    assert int(jnp.sum(idx_f == jnp.arange(6))) == 6
+    # mutual: two queries colliding on one db row -> only the closer keeps it
+    da2 = jnp.concatenate([da[:1], da[:1]])  # same query twice
+    va2 = jnp.ones(2, bool)
+    idx_mu, _ = brief_mod.match_descriptors(
+        da2, va2, db_far, vb, mutual=True
+    )
+    assert int(jnp.sum(idx_mu >= 0)) <= 1
+
+
+def test_loop_trajectory_scale_excitation():
+    """Monocular scale is observable only through time-varying linear
+    acceleration that a per-window-constant accelerometer bias cannot
+    absorb.  On a constant-rate circle the centripetal acceleration is a
+    near-constant body-frame vector (scale walked into the bias, r5:
+    |p| 1.8 -> 12 m over 0.8 laps); the speed/radius harmonics must keep
+    the body-frame LINEAR acceleration visibly time-varying."""
+    from vplines_slam_tpu.utils import synthetic as syn
+
+    traj = syn.loop_trajectory()
+    ts = np.linspace(0.0, 30.0, 601)
+    a_body = []
+    for t in ts:
+        a_w = syn.world_accel(traj, t)
+        q = traj.quat(t)
+        a_body.append(np.asarray(geo.quat_rotate(geo.quat_conj(q), a_w)))
+    a_body = np.stack(a_body)
+    # per-axis std of the gravity-free body acceleration: the bias can
+    # absorb the mean, not the variation
+    assert a_body.std(axis=0).max() > 0.08, a_body.std(axis=0)
+    # and the trajectory stays exactly lap-periodic (revisit geometry)
+    p0 = np.asarray(traj.pos(3.7))
+    p1 = np.asarray(traj.pos(3.7 + 30.0))
+    assert np.linalg.norm(p0 - p1) < 1e-9
