@@ -434,6 +434,7 @@ def slide_window_old(
         # relocalization info is consumed by exactly one solve
         relo_mask=jnp.zeros_like(data.relo_mask),
         relo_valid=jnp.asarray(False),
+        frame_t=_shift_frames(data.frame_t, nf),
     )
 
     # --- states shift ------------------------------------------------------
@@ -595,6 +596,7 @@ def slide_window_new(
         imu_pre=imu_pre, imu_sqrt=imu_sqrt,
         relo_mask=jnp.zeros_like(data.relo_mask),
         relo_valid=jnp.asarray(False),
+        frame_t=data.frame_t.at[s].set(data.frame_t[n]),
         prior=prior_new,
     )
 

@@ -126,7 +126,7 @@ def _failure_detection(state_old: WindowState, state_new: WindowState):
 
 
 def track_step(state, data, pt_ids, pt_rays, ln_args, imu_batch, cfg, params,
-               use_lines, solve_fn=None):
+               use_lines, solve_fn=None, t=None):
     """One steady-state VIO frame: IMU interval ingest + propagation, feature
     ingest, keyframe test, triangulation, window BA, outlier cull, and the
     keyframe/non-keyframe slide — ONE pure jittable program (the device body
@@ -147,6 +147,14 @@ def track_step(state, data, pt_ids, pt_rays, ln_args, imu_batch, cfg, params,
         state, cfg, dts, accs, gyrs, mask, params, nf - 2, nf - 1
     )
     data = ingest_frame(data, cfg, nf - 1, pt_ids, pt_rays, *ln_args)
+    # window frame stamps (relo_frame_local_index bookkeeping).  t=None
+    # (profiling/dist-BA callers without real stamps): keep them monotone so
+    # stamp matching stays well-defined; relo needs real stamps to fire.
+    t_new = (
+        data.frame_t[nf - 2] + 1.0 if t is None
+        else jnp.asarray(t, data.frame_t.dtype)
+    )
+    data = data._replace(frame_t=data.frame_t.at[nf - 1].set(t_new))
 
     is_kf, parallax, n_new = keyframe_parallax(data, cfg, nf - 1)
 
@@ -166,13 +174,17 @@ def track_step(state, data, pt_ids, pt_rays, ln_args, imu_batch, cfg, params,
 
     failure = _failure_detection(state0, state)
 
-    # fast-relocalization feedback: refined relative pose between the
-    # loop keyframe (window slot NF-2: the keyframe after whose slide
-    # set_relo was called) and the optimized relo pose
-    # (estimator.cpp double2vector relo section + pubRelocalization)
+    # fast-relocalization feedback: refined relative pose between the loop
+    # keyframe — located IN THE WINDOW BY ITS STAMP (relo_frame_local_index,
+    # estimator.cpp setReloFrame:1848 + double2vector relo section) — and
+    # the optimized relo pose.  The staged loop pipeline arms relo several
+    # frames after the keyframe was newest, so a fixed slot is the WRONG
+    # frame (r5: 45 deg of spurious yaw per refined edge).
     from ..utils.geometry import quat_conj, quat_to_rot, rot_to_ypr
 
-    kf_idx = nf - 2
+    stamp_diff = jnp.abs(data.frame_t - data.relo_stamp)
+    kf_idx = jnp.argmin(stamp_diff)
+    relo_found = data.relo_valid & (stamp_diff[kf_idx] < 2e-3)
     rel_t = quat_rotate(
         quat_conj(state.q_relo), state.p[kf_idx] - state.p_relo
     )
@@ -195,7 +207,7 @@ def track_step(state, data, pt_ids, pt_rays, ln_args, imu_batch, cfg, params,
         p=state.p[nf - 1], q=state.q[nf - 1], v=state.v[nf - 1],
         ba=state.ba[nf - 1], bg=state.bg[nf - 1],
         is_keyframe=is_kf, failure=failure, ba_cost=lm_out.cost,
-        relo_valid=data.relo_valid,
+        relo_valid=relo_found,
         relo_rel_t=rel_t, relo_rel_q=rel_q, relo_rel_yaw=rel_yaw,
     )
     state, data = jax.lax.cond(is_kf, do_kf, do_non_kf, (state, data))
@@ -282,7 +294,8 @@ class VioEngine:
     def _build_jits(self):
         cfg, params = self.cfg, self.params
 
-        def fill_step(state, data, frame_idx, pt_ids, pt_rays, ln_args, imu_batch):
+        def fill_step(state, data, frame_idx, pt_ids, pt_rays, ln_args,
+                      imu_batch, t_stamp):
             dts, accs, gyrs, mask, has_imu = imu_batch
             data = jax.lax.cond(
                 has_imu & (frame_idx > 0),
@@ -303,6 +316,9 @@ class VioEngine:
                 state,
             )
             data = ingest_frame(data, cfg, frame_idx, pt_ids, pt_rays, *ln_args)
+            data = data._replace(
+                frame_t=data.frame_t.at[frame_idx].set(t_stamp)
+            )
             return state, data
 
         self._fill_step = jax.jit(fill_step)
@@ -354,8 +370,9 @@ class VioEngine:
         else:
             solve_fn = None
         self._track_step = jax.jit(
-            lambda s, d, i, r, l, b: track_step(
-                s, d, i, r, l, b, cfg, params, use_lines, solve_fn=solve_fn
+            lambda s, d, i, r, l, b, t=None: track_step(
+                s, d, i, r, l, b, cfg, params, use_lines, solve_fn=solve_fn,
+                t=t,
             )
         )
 
@@ -555,7 +572,8 @@ class VioEngine:
             idx_int = self.frame_count
             idx = jnp.asarray(idx_int, jnp.int32)
             self.state, self.data = self._fill_step(
-                self.state, self.data, idx, pt_ids, pt_rays, ln_args, imu_batch
+                self.state, self.data, idx, pt_ids, pt_rays, ln_args,
+                imu_batch, jnp.asarray(float(t), self.dtype),
             )
             self.frame_count += 1
             self._online_calibration(t, idx_int)
@@ -597,7 +615,8 @@ class VioEngine:
             return out
 
         self.state, self.data, out = self._track_step(
-            self.state, self.data, pt_ids, pt_rays, ln_args, imu_batch
+            self.state, self.data, pt_ids, pt_rays, ln_args, imu_batch,
+            jnp.asarray(float(t), self.dtype),
         )
         # ONE host transfer for the whole step output: downstream consumers
         # (SlamSystem, sinks) read many fields; fetching them lazily costs a
@@ -628,7 +647,8 @@ class VioEngine:
         ln_args = self._pack_lines(ln_ids, ln_obs, ln_vps, ln_vp_valid)
         self.last_frame_time = float(t)
         self.state, self.data, out = self._track_step(
-            self.state, self.data, pt_ids, pt_rays, ln_args, imu_batch
+            self.state, self.data, pt_ids, pt_rays, ln_args, imu_batch,
+            jnp.asarray(float(t), self.dtype),
         )
         if packed:
             if not hasattr(self, "_jit_pack_out"):
@@ -687,13 +707,17 @@ class VioEngine:
                     self.td = float(td)
                     self._td_solved = True
 
-    def set_relo(self, match_ids, match_obs, old_p, old_q):
+    def set_relo(self, match_ids, match_obs, old_p, old_q, kf_stamp=None):
         """Arm fast-relocalization for the next solve (setReloFrame:1848).
 
         match_ids: [M] feature ids verified against an old keyframe;
         match_obs: [M, 2|3] their normalized observations in the OLD keyframe
         camera; old_p/old_q: the old keyframe's (VIO-frame) pose, seeding the
         6-dof relo pose that the next BA optimizes jointly with the window.
+        kf_stamp: the LOOP keyframe's timestamp — the refined relative pose
+        is extracted against the window frame matching this stamp
+        (relo_frame_local_index); without it the refinement never reports
+        valid (the loop edge keeps the PnP estimate).
         The refined relative pose comes back in StepOutput.relo_rel_*.
         """
         ids = np.asarray(match_ids, np.int64)
@@ -717,6 +741,9 @@ class VioEngine:
             relo_obs=jnp.asarray(relo_obs, self.dtype),
             relo_mask=jnp.asarray(relo_mask),
             relo_valid=jnp.asarray(True),
+            relo_stamp=jnp.asarray(
+                -2.0 if kf_stamp is None else float(kf_stamp), self.dtype
+            ),
         )
         self.state = self.state._replace(
             p_relo=jnp.asarray(old_p, self.dtype),

@@ -163,6 +163,16 @@ class TrackData(NamedTuple):
     relo_obs: jnp.ndarray  # [MAXP, 3] normalized rays in the OLD keyframe cam
     relo_mask: jnp.ndarray  # [MAXP] bool: slot has a verified loop match
     relo_valid: jnp.ndarray  # [] bool: a relocalization frame is active
+    # timestamps of the window frames + the stamp of the frame the active
+    # relocalization refers to (estimator.h relo_frame_stamp /
+    # relo_frame_local_index semantics): the staged loop pipeline verifies a
+    # keyframe several frames after it was the newest, so the refined
+    # relative pose must be extracted against the window slot MATCHING THE
+    # STAMP, not against a fixed slot (r5: a fixed nf-2 paired the relo pose
+    # with a frame ~4 s newer — every refined loop edge carried ~45 deg of
+    # spurious yaw and the PGO made the corrected path WORSE than raw VIO)
+    frame_t: jnp.ndarray  # [NF] frame stamps (-1 = unset)
+    relo_stamp: jnp.ndarray  # [] stamp of the loop keyframe (-2 = none)
     # prior
     prior: marg_mod.Prior
     prior_state: WindowState  # linearization point of the prior
@@ -224,6 +234,8 @@ def empty_tracks(cfg: WindowConfig, dtype=jnp.float64) -> TrackData:
         relo_obs=jnp.zeros((P, 3), dtype).at[:, 2].set(1.0),
         relo_mask=jnp.zeros((P,), bool),
         relo_valid=jnp.asarray(False),
+        frame_t=jnp.full((nf,), -1.0, dtype),
+        relo_stamp=jnp.asarray(-2.0, dtype),
         prior=marg_mod.empty_prior(cfg.nd, dtype),
         prior_state=empty_state(cfg, dtype),
     )

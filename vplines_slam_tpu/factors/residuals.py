@@ -13,8 +13,18 @@ TPU-native replacement for the reference's hand-derived ceres
 - vanishing point: projected line direction vs observed VP
   (``line_projection_factor.cpp:11-237``)
 
-Weights follow estimator.cpp:18-20: point √info = FOCAL/1.5, line = 306.67,
-VP = 10.0 (euroc config).
+Weights follow estimator.cpp:18-20: point √info = FOCAL/1.5, VP = 10.0
+(euroc config).  The LINE weight deliberately deviates from the reference's
+306.67 (== the point weight): a line residual is the perpendicular distance
+of a DETECTOR-FITTED segment endpoint to the projected line, and an OLS
+line fit over n ≈ L_px edge pixels has perpendicular endpoint noise
+≈ 2σ_px/√L_px — 3.5-7x below the single-pixel noise a point observation
+carries (L_px 50-200).  Weighting lines at the point weight under-counts
+their information ~25x; √info 1500 ≈ 5x the point weight is the
+fit-statistics-consistent value.  Measured (4-seed figure-8, docs/
+ACCURACY.md): at 306.67 the line channel is ATE-neutral-to-worse; at the
+consistent weight points+lines+VP beat points-only 0.33 -> 0.22 m at 1 px
+and reach parity at 0.5 px.
 """
 
 from __future__ import annotations
@@ -26,7 +36,7 @@ from ..utils.plucker import orth_to_plk, plk_transform
 
 FOCAL_LENGTH = 460.0
 POINT_SQRT_INFO = FOCAL_LENGTH / 1.5
-LINE_SQRT_INFO = 306.67
+LINE_SQRT_INFO = 1500.0  # fit-statistics weight; reference parity = 306.67
 VP_SQRT_INFO = 10.0
 
 

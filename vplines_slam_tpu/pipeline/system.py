@@ -687,7 +687,7 @@ class SlamSystem:
             q_seed = quat_mul(quat_conj(job["q_b"]), jnp.asarray(lr.q_old))
             armed = self.vio.set_relo(
                 np.asarray(job["w_ids"])[mm], np.asarray(lr.obs_old)[mm],
-                p_seed, q_seed,
+                p_seed, q_seed, kf_stamp=job["t"],
             )
             if armed:
                 self._pending_relo = (k, cand)

@@ -17,6 +17,7 @@ import numpy as np
 import yaml
 
 from ..estimator.window import WindowConfig
+from ..factors import residuals as res
 from ..models import camera as cam_mod
 from ..models import imu as imu_mod
 from ..models.feature_tracker import TrackerConfig
@@ -112,7 +113,7 @@ def load_profile(path, dtype=jnp.float64) -> SystemProfile:
         g_norm=n.get("g_norm", 9.81007),
         min_parallax=w.get("keyframe_parallax", 10.0) / 460.0,
         ba_iters=w.get("max_num_iterations", 8),
-        line_sqrt_info=w.get("line_factor", 306.67),
+        line_sqrt_info=w.get("line_factor", res.LINE_SQRT_INFO),
         vp_sqrt_info=w.get("vp_factor", 10.0),
         line_min_obs=w.get("line_min_obs", 5),
     )
